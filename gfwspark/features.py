@@ -1,0 +1,105 @@
+"""Per-image derived features + the flagship featurization pipeline.
+
+The graft replaces the reference's 14 AIS movement features
+(vessel_characterization.py:204) with image-native ones (SURVEY.md
+§2.8 "graft-specific derived features"), all built-in-function only —
+no Python in the hot path:
+
+- phash hamming delta vs previous version:  bit_count(phash ^ lag(phash))
+- aspect ratio stats:                        w / h
+- caption token count:                       size(split(caption, '\\s+'))
+- time delta / log-gap (the reference's GAP feature, GAP_LOGDT
+  feature_utilities.py:73-102):              log1p(ts - lag(ts))
+
+The flagship pipeline = layout → derived features → backward as-of
+label join → sliding window aggregates → sessionization.  One shuffle
+on entity feeds every window stage (they share the partitioning), which
+is what keeps the plan scalable at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from gfwspark.util import epoch_s
+
+from gfwspark import asof, sessionize
+
+
+def with_derived_features(
+    df: DataFrame,
+    entity: str = "image_id",
+    ts: str = "ts",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Attach the per-image derived feature columns (native only)."""
+    order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    w = Window.partitionBy(entity).orderBy(*order)
+    prev_phash = F.lag("phash").over(w)
+    prev_ts = F.lag(epoch_s(ts)).over(w)
+    return (
+        df.withColumn(
+            "phash_hamming",
+            F.when(prev_phash.isNull(), F.lit(None).cast("int")).otherwise(
+                F.bit_count(F.col("phash").bitwiseXOR(prev_phash))
+            ),
+        )
+        .withColumn("aspect", F.col("w").cast("double") / F.col("h"))
+        .withColumn(
+            "caption_tokens",
+            F.when(F.length(F.trim("caption")) == 0, F.lit(0)).otherwise(
+                F.size(F.split(F.trim("caption"), r"\s+"))
+            ),
+        )
+        .withColumn(
+            "log_dt",
+            F.when(prev_ts.isNull(), F.lit(None).cast("double")).otherwise(
+                F.log1p(epoch_s(ts) - prev_ts)
+            ),
+        )
+    )
+
+
+def featurize(
+    images: DataFrame,
+    annotations: DataFrame | None = None,
+    entity: str = "image_id",
+    ts: str = "ts",
+    window_size: int = 8,
+    session_gap_s: int = 3600,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Flagship pipeline: derived features + as-of label + backward
+    sliding aggregates + session ids.
+
+    Plan shape (at any scale): scan → [shuffle on entity] → all window
+    stages reuse that partitioning (Catalyst collapses the Window nodes
+    over the same spec into one sort) → optional as-of union-merge
+    (same key, no extra shuffle after AQE) → project.
+    """
+    feat = with_derived_features(images, entity=entity, ts=ts, order_tiebreak=order_tiebreak)
+
+    order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    wslide = (
+        Window.partitionBy(entity).orderBy(*order).rowsBetween(-(window_size - 1), 0)
+    )
+    feat = (
+        feat.withColumn("ham_w_avg", F.avg("phash_hamming").over(wslide))
+        .withColumn("ham_w_max", F.max("phash_hamming").over(wslide))
+        .withColumn("tok_w_avg", F.avg("caption_tokens").over(wslide))
+        .withColumn("aspect_w_min", F.min("aspect").over(wslide))
+        .withColumn("n_in_window", F.count(F.lit(1)).over(wslide))
+    )
+
+    feat = sessionize.with_session_id(
+        feat, entity=entity, ts=ts, gap_seconds=session_gap_s,
+        order_tiebreak=order_tiebreak,
+    )
+
+    if annotations is not None:
+        feat = asof.asof_join_union(
+            feat, annotations, entity=entity, ts=ts,
+            ann_ts="start_ts", value_cols=("label",),
+        )
+    return feat

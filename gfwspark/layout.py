@@ -1,0 +1,101 @@
+"""Physical layout: per-entity time-sorted partitions + skew handling.
+
+The reference stores one sorted series per vessel file and *asserts*
+sortedness at runtime (feature_utilities.py:405-407).  Spark partitions
+hold many entities, so the equivalent invariant is:
+
+    repartitionByRange(entity)  →  entities range-clustered
+    sortWithinPartitions(entity, ts)  →  secondary sort
+
+After this, every per-entity kernel (as-of merge, sliding windows,
+sessionization) sees its entity's rows contiguous and time-ascending —
+searchsorted/merge_asof run linear, exactly like the reference's numpy
+hot path.
+
+Skew: a hot entity (millions of rows at 100 TB) would overflow one
+task.  ``detect_skew`` finds hot keys from a cheap count aggregate;
+``salted`` splits them into `n_salts` sub-keys for shuffle-heavy stages
+whose semantics are per-row or mergeable, and the caller re-merges.
+AQE skew-join splitting remains on as a second line of defense
+(session.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def partition_sorted(
+    df: DataFrame,
+    entity: str = "image_id",
+    ts: str = "ts",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Range-partition by entity, secondary-sort by (entity, ts).
+
+    At 100 TB this is the one big shuffle of the featurization job;
+    every downstream per-entity operator reuses the layout (no further
+    shuffles), mirroring how the reference pays its sort cost once at
+    feature-file creation.
+    """
+    if num_partitions:
+        df = df.repartitionByRange(num_partitions, F.col(entity))
+    else:
+        df = df.repartitionByRange(F.col(entity))
+    return df.sortWithinPartitions(entity, ts)
+
+
+def detect_skew(
+    df: DataFrame, entity: str = "image_id", hot_threshold_rows: int = 100_000
+) -> DataFrame:
+    """Cheap per-entity count; rows above threshold are 'hot' keys.
+
+    Returns a small DataFrame (entity, n_rows) of hot keys — broadcast
+    it into the salting join.  The reference's analog is the
+    MAX_WEIGHT=100 replication cap (metadata.py:268-272).
+    """
+    return (
+        df.groupBy(entity)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > hot_threshold_rows)
+    )
+
+
+def salted(
+    df: DataFrame,
+    entity: str = "image_id",
+    n_salts: int = 16,
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Add a `salt` column: 0 for cold keys; crc32(entity,ts)%n_salts for
+    hot keys (or for all keys when hot_keys is None).
+
+    Group by (entity, salt) in the heavy stage, then re-merge partials
+    with a final groupBy(entity).  Deterministic: the salt is a pure
+    function of the row, never rand().
+    """
+    salt_expr = (F.crc32(F.concat_ws("|", F.col(entity), F.col("ts").cast("string")))
+                 % n_salts).cast("int")
+    if hot_keys is None:
+        return df.withColumn("salt", salt_expr)
+    hot = hot_keys.select(F.col(entity), F.lit(True).alias("_hot"))
+    return (
+        df.join(F.broadcast(hot), entity, "left")
+        .withColumn("salt", F.when(F.col("_hot"), salt_expr).otherwise(F.lit(0)))
+        .drop("_hot")
+    )
+
+
+def assert_sorted_within_entities(df: DataFrame, entity: str = "image_id", ts: str = "ts") -> int:
+    """Test-side invariant check (the Spark analog of the reference's
+    assert at feature_utilities.py:405-407).  Returns the number of
+    out-of-order rows (0 when the invariant holds)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(entity).orderBy(ts)
+    return (
+        df.withColumn("_prev", F.lag(ts).over(w))
+        .filter(F.col("_prev") > F.col(ts))
+        .count()
+    )

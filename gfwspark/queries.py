@@ -1,0 +1,671 @@
+"""Query catalog: every operator exposed through the driver contract.
+
+Each entry couples a Spark implementation (DataFrame API over the
+engine's operators) with an equivalent DuckDB oracle SQL string.  The
+driver runs both at sf=0.01 and compares row-count + schema +
+order-insensitive value-hash (see __spark_entry__.py).
+
+Float determinism policy (so value-hashes match bit-for-bit):
+- integer window sums/avgs: exact in double on both engines
+- w/h-style single IEEE divisions: bit-identical on both engines
+- unordered double SUMs: routed through decimal(18,6) (exact,
+  order-independent) then cast back to double
+- transcendentals (ln, sqrt): rounded to 6 decimals on both sides
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from gfwspark import asof, features, sessionize, tables, windows
+from gfwspark.util import epoch_s, epoch_us
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------
+# Shared derivations (dialect-templated, see tables.py)
+# ---------------------------------------------------------------------
+
+_DUCK_IMG = tables.sql_image_caption("duckdb").strip()
+_DUCK_ANN = tables.sql_annotations("duckdb").strip()
+
+# deduped annotations: one row per (image_id, start_ts), max label —
+# pins as-of tie-breaking deterministically on both engines.
+_DUCK_ANN_DEDUP = f"""
+SELECT image_id, start_ts, max(label) AS label
+FROM ({_DUCK_ANN}) GROUP BY image_id, start_ts
+"""
+
+
+def _ann_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tables.annotations_from_events(spark, sf_dir)
+        .groupBy("image_id", "start_ts")
+        .agg(F.max("label").alias("label"))
+    )
+
+
+# ---------------------------------------------------------------------
+# FLAGSHIP: derived features + sliding window + sessionization + as-of
+# label (the reference's featurization pipeline transposed, SURVEY §3.2)
+# ---------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = f"""
+WITH img AS ({_DUCK_IMG}),
+ann AS ({_DUCK_ANN_DEDUP}),
+f AS (
+  SELECT image_id, ts, event_id, phash, w, h, caption,
+    lag(phash) OVER wo AS prev_phash,
+    lag(ts) OVER wo AS prev_ts
+  FROM img
+  WINDOW wo AS (PARTITION BY image_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT image_id, ts, event_id,
+    CASE WHEN prev_phash IS NULL THEN NULL
+         ELSE bit_count(xor(phash, prev_phash)) END AS phash_hamming,
+    cast(w AS double) / h AS aspect,
+    CASE WHEN length(trim(caption)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(caption), '\\s+')) END AS caption_tokens,
+    CASE WHEN prev_ts IS NULL
+           OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM f
+),
+h AS (
+  SELECT image_id, ts, event_id, phash_hamming, aspect, caption_tokens,
+    avg(phash_hamming) OVER wf AS ham_w_avg,
+    cast(sum(is_new) OVER wc - 1 AS bigint) AS session_id
+  FROM g
+  WINDOW wf AS (PARTITION BY image_id ORDER BY ts, event_id
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+         wc AS (PARTITION BY image_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT h.image_id, h.ts, h.event_id,
+       cast(h.phash_hamming AS int) AS phash_hamming,
+       h.aspect,
+       cast(h.caption_tokens AS int) AS caption_tokens,
+       h.ham_w_avg, h.session_id,
+       ann.label AS asof_label
+FROM h ASOF LEFT JOIN ann
+  ON h.image_id = ann.image_id AND h.ts >= ann.start_ts
+"""
+
+
+@register("flagship_featurize", _FLAGSHIP_ORACLE)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = tables.image_caption_from_events(spark, sf_dir)
+    ann = _ann_dedup(spark, sf_dir)
+    out = features.featurize(
+        img, ann, window_size=8, session_gap_s=3600, order_tiebreak="event_id"
+    )
+    return out.select(
+        "image_id",
+        "ts",
+        "event_id",
+        F.col("phash_hamming").cast("int").alias("phash_hamming"),
+        "aspect",
+        F.col("caption_tokens").cast("int").alias("caption_tokens"),
+        "ham_w_avg",
+        "session_id",
+        F.col("asof_label").alias("asof_label"),
+    )
+
+
+# ---------------------------------------------------------------------
+# As-of join in isolation (J1) — both physical strategies must agree.
+# ---------------------------------------------------------------------
+
+_ASOF_ORACLE = f"""
+WITH img AS ({_DUCK_IMG}), ann AS ({_DUCK_ANN_DEDUP})
+SELECT img.image_id, img.ts, img.event_id, ann.label AS asof_label
+FROM img ASOF LEFT JOIN ann
+  ON img.image_id = ann.image_id AND img.ts >= ann.start_ts
+"""
+
+
+@register("asof_join_union", _ASOF_ORACLE)
+def q_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = tables.image_caption_from_events(spark, sf_dir).select(
+        "image_id", "ts", "event_id"
+    )
+    out = asof.asof_join_union(
+        img, _ann_dedup(spark, sf_dir), value_cols=("label",)
+    )
+    return out.withColumnRenamed("asof_label", "asof_label")
+
+
+@register("asof_join_cogroup", _ASOF_ORACLE)
+def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = tables.image_caption_from_events(spark, sf_dir).select(
+        "image_id", "ts", "event_id"
+    )
+    return asof.asof_join_cogroup(img, _ann_dedup(spark, sf_dir), value_cols=("label",))
+
+
+# ---------------------------------------------------------------------
+# Lag/lead (north-rule primitive; reference W1 shift semantics)
+# ---------------------------------------------------------------------
+
+_LAGLEAD_ORACLE = """
+SELECT user_id, ts, event_id, value,
+  lag(value) OVER w AS value_lag1,
+  lag(value, 2) OVER w AS value_lag2,
+  lead(value) OVER w AS value_lead1
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("lag_lead", _LAGLEAD_ORACLE)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return windows.with_lag_lead(
+        ev, ["value"], entity="user_id", ts="ts",
+        order_tiebreak="event_id", lags=(1, 2), leads=(1,),
+    )
+
+
+# ---------------------------------------------------------------------
+# Sessionization (W9): gap 1800 s over events
+# ---------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+  SELECT user_id, ts, value,
+    cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS bigint) AS session_id
+  FROM s
+)
+SELECT user_id, session_id,
+  min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_points,
+  cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value,
+  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+FROM t GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize", _SESSION_ORACLE)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    s = sessionize.with_session_id(
+        ev, entity="user_id", ts="ts", gap_seconds=1800, order_tiebreak="event_id"
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        (F.max(epoch_us("ts")) - F.min(epoch_us("ts"))).alias("duration_us"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Run-length consolidation (W9 core): consecutive equal event_type runs
+# ---------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+  SELECT user_id, ts, event_type,
+    sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM s
+)
+SELECT user_id, min(ts) AS run_start, max(ts) AS run_end,
+       any_value(event_type) AS value, count(*) AS n_points
+FROM t GROUP BY user_id, run_id
+"""
+
+
+@register("consolidate_runs", _RUNS_ORACLE)
+def q_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    # day-splitting off: the oracle models the pure run-length form
+    return sessionize.consolidate_runs(
+        ev, "event_type", entity="user_id", ts="ts", split_days=False
+    )
+
+
+# ---------------------------------------------------------------------
+# Sliding fixed-count windows w/ stride (W1) — scalarized form
+# ---------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+    row_number() OVER wo AS rn,
+    count(*) OVER (PARTITION BY user_id) AS n,
+    cast(sum(cast(value AS decimal(18,6))) OVER wf AS double) AS win_sum,
+    min(ts) OVER wf AS win_start_ts,
+    count(value) OVER wf AS win_n
+  FROM events
+  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, ts AS win_end_ts, win_start_ts, win_sum,
+       cast(win_n AS bigint) AS n_points
+FROM s WHERE (n - rn) % 4 = 0 AND rn >= 16
+"""
+
+
+@register("sliding_windows", _SLIDING_ORACLE)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    wo = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wf = wo.rowsBetween(-15, 0)
+    wn = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "win_sum",
+            F.sum(F.col("value").cast("decimal(18,6)")).over(wf).cast("double"),
+        )
+        .withColumn("win_start_ts", F.min("ts").over(wf))
+        .withColumn("n_points", F.count("value").over(wf))
+        .filter(((F.col("n") - F.col("rn")) % 4 == 0) & (F.col("rn") >= 16))
+        .select(
+            "user_id",
+            F.col("ts").alias("win_end_ts"),
+            "win_start_ts",
+            "win_sum",
+            "n_points",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Tumbling windows (W11): daily per event_type
+# ---------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT event_type,
+  cast(date_trunc('day', ts) AS timestamp) AS win_start,
+  count(*) AS n,
+  cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value,
+  min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
+@register("tumbling_daily", _TUMBLING_ORACLE)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 day").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            "n",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# A1: per-entity min/max/sum hash agg (create_train_info.py:21-33)
+# ---------------------------------------------------------------------
+
+_AGG_ORACLE = """
+SELECT o_custkey,
+  min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+  count(*) AS n_orders,
+  cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS total_spend
+FROM orders GROUP BY o_custkey
+"""
+
+
+@register("entity_minmax_agg", _AGG_ORACLE)
+def q_entity_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_spend"),
+    )
+
+
+# ---------------------------------------------------------------------
+# W8/O3: top-k per group via row_number (create_train_info.py:82-91)
+# ---------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, cast(rk AS int) AS rk
+FROM r WHERE rk <= 3
+"""
+
+
+@register("topk_per_group", _TOPK_ORACLE)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# ---------------------------------------------------------------------
+# A2: dedup-with-priority (groupBy + rank + keep rk=1)
+# ---------------------------------------------------------------------
+
+_DEDUP_PRIORITY_ORACLE = """
+WITH agg AS (
+  SELECT o_custkey, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY o_custkey, o_orderpriority
+),
+r AS (
+  SELECT o_custkey, o_orderpriority, n,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY n DESC, o_orderpriority) AS rk
+  FROM agg
+)
+SELECT o_custkey, o_orderpriority AS top_priority, n AS n_orders
+FROM r WHERE rk = 1
+"""
+
+
+@register("dedup_priority", _DEDUP_PRIORITY_ORACLE)
+def q_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("top_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# J4 + J5: equi join fact×dim with broadcast (compute_vessel_metrics
+# label↔inference join)
+# ---------------------------------------------------------------------
+
+_EQUI_ORACLE = """
+SELECT n.n_name AS nation, count(*) AS n_customers,
+  cast(sum(cast(c.c_acctbal AS decimal(18,4))) AS double) AS total_balance
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("equi_join_broadcast", _EQUI_ORACLE)
+def q_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load_table(spark, sf_dir, "customer")
+    n = tables.load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# J8/P3: semi + anti membership
+# ---------------------------------------------------------------------
+
+_SEMI_ANTI_ORACLE = """
+SELECT
+  (SELECT count(*) FROM customer c WHERE EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders
+"""
+
+
+@register("semi_anti_join", _SEMI_ANTI_ORACLE)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load_table(spark, sf_dir, "customer")
+    o = tables.load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_o = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    without_o = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    return c.sparkSession.createDataFrame(
+        [(with_o, without_o)], "n_with_orders bigint, n_without_orders bigint"
+    )
+
+
+# ---------------------------------------------------------------------
+# P8: time-overlap theta predicate (NOT-disjoint), create_train_info:63-67
+# ---------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+SELECT l.l_orderkey, count(*) AS n_quick_ships
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= o.o_orderdate
+  AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY l.l_orderkey
+"""
+
+
+@register("overlap_theta_join", _OVERLAP_ORACLE)
+def q_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    o = tables.load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("interval 30 day"))
+        )
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_quick_ships"))
+    )
+
+
+# ---------------------------------------------------------------------
+# A5: class-count weighting (metadata.py:303-343):
+# weight = sqrt(max_count / count), rounded for float parity
+# ---------------------------------------------------------------------
+
+_CLASS_WEIGHT_ORACLE = """
+WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+m AS (SELECT max(n) AS max_n FROM c)
+SELECT c.event_type, c.n AS n_rows,
+  round(sqrt(cast(m.max_n AS double) / c.n), 6) AS weight
+FROM c CROSS JOIN m
+"""
+
+
+@register("class_weights", _CLASS_WEIGHT_ORACLE)
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.max("n").alias("max_n"))
+    return c.crossJoin(F.broadcast(m)).select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        F.round(F.sqrt(F.col("max_n").cast("double") / F.col("n")), 6).alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------
+# O4: deterministic hash split (create_train_info.py:374-379)
+# ---------------------------------------------------------------------
+
+_HASH_SPLIT_ORACLE = """
+SELECT split, count(*) AS n FROM (
+  SELECT CASE WHEN substr(sha256(cast(c_custkey AS varchar)), 1, 1) < '8'
+              THEN 'Training' ELSE 'Test' END AS split
+  FROM customer
+) GROUP BY split
+"""
+
+
+@register("hash_split", _HASH_SPLIT_ORACLE)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.when(
+                F.substring(F.sha2(F.col("c_custkey").cast("string"), 256), 1, 1) < "8",
+                "Training",
+            )
+            .otherwise("Test")
+            .alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------
+# F6: label split + explode + count (metadata.py:318-321 analog on
+# documents.source) — explode of a multi-token column
+# ---------------------------------------------------------------------
+
+_EXPLODE_ORACLE = """
+SELECT token, count(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE length(trim(text)) > 0
+)
+WHERE token <> ''
+GROUP BY token HAVING count(*) >= 5
+"""
+
+
+@register("token_explode_count", _EXPLODE_ORACLE)
+def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------
+# Text analysis: per-document stats (token count, punct ratio, quality)
+# ---------------------------------------------------------------------
+
+_DOCSTATS_ORACLE = """
+SELECT doc_id, lang,
+  cast(length(text) AS bigint) AS n_chars_actual,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE cast(len(regexp_split_to_array(trim(text), '\\s+')) AS bigint)
+  END AS n_tokens,
+  round(cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS double)
+        / greatest(length(text), 1), 6) AS punct_ratio
+FROM documents
+"""
+
+
+@register("doc_stats", _DOCSTATS_ORACLE)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)),
+            6,
+        ).alias("punct_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Exact dedup via content hash (md5) on documents
+# ---------------------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, count(*) AS n_copies,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )

@@ -1,0 +1,268 @@
+"""Windowed featurization: backfill, lag/lead, sliding/tumbling windows.
+
+Maps the reference's window kernels (SURVEY.md §2.5) onto Spark Window
+specs where SQL can express them, and onto Arrow grouped-map kernels
+where it can't (repeat-pad, alignment padding):
+
+- W1  sliding fixed-count windows with stride  → rowsBetween + stride filter
+- W2  edge backfill (repeat first/last row)    → applyInPandas kernel
+- W5  repeat-pad of short series               → applyInPandas kernel
+- W7  month-grid sliding time ranges           → month grid + interval join
+- W9  sessionization                           → see sessionize.py
+- W11 tumbling windows                         → date_trunc / F.window
+- W12 per-window min/max bounds                → F.min/F.max over frame
+
+All frames are backward-only (rowsBetween(-k, 0)) — zero temporal
+leakage by construction (north rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def with_lag_lead(
+    df: DataFrame,
+    cols: list[str],
+    entity: str = "image_id",
+    ts: str = "ts",
+    order_tiebreak: str | None = None,
+    lags: tuple[int, ...] = (1,),
+    leads: tuple[int, ...] = (),
+) -> DataFrame:
+    """lag/lead of `cols` over the per-entity time order.
+
+    Ties in ts are broken by `order_tiebreak` so results are
+    deterministic at any partition count (SURVEY.md §7 determinism).
+    Leads look forward: only for label/target construction, never
+    features (documented leakage boundary).
+    """
+    order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    w = Window.partitionBy(entity).orderBy(*order)
+    out = df
+    for c in cols:
+        for k in lags:
+            out = out.withColumn(f"{c}_lag{k}", F.lag(c, k).over(w))
+        for k in leads:
+            out = out.withColumn(f"{c}_lead{k}", F.lead(c, k).over(w))
+    return out
+
+
+def with_sliding_agg(
+    df: DataFrame,
+    agg_col: str,
+    window_size: int,
+    entity: str = "image_id",
+    ts: str = "ts",
+    order_tiebreak: str | None = None,
+    aggs: tuple[str, ...] = ("avg", "min", "max", "count"),
+    prefix: str | None = None,
+) -> DataFrame:
+    """Backward sliding fixed-count aggregates: frame [-(w-1), 0].
+
+    The SQL analog of W1's window extraction when the downstream
+    consumer wants per-point statistics rather than materialized
+    windows.  Whole-stage-codegen'd; one shuffle on entity.
+    """
+    order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*order)
+        .rowsBetween(-(window_size - 1), 0)
+    )
+    p = prefix or f"{agg_col}_w{window_size}"
+    fns = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
+           "count": F.count, "stddev": F.stddev}
+    out = df
+    for a in aggs:
+        out = out.withColumn(f"{p}_{a}", fns[a](agg_col).over(w))
+    return out
+
+
+def with_window_bounds(
+    df: DataFrame, entity: str = "image_id", ts: str = "ts", window_size: int = 16
+) -> DataFrame:
+    """W12: [min_ts, max_ts] of the backward fixed-count frame."""
+    w = Window.partitionBy(entity).orderBy(ts).rowsBetween(-(window_size - 1), 0)
+    return df.withColumn("win_start_ts", F.min(ts).over(w)).withColumn(
+        "win_end_ts", F.max(ts).over(w)
+    )
+
+
+# ------------------------------------------------------------------
+# Materialized sliding windows (reference W1: one output row per
+# window position, stride `shift`, each carrying the window's feature
+# vector).  Spark-native: collect_list over the backward frame +
+# row_number stride filter.  Emits windows anchored at the series END
+# stepping back by `shift`, exactly like
+# np_array_extract_all_fixed_slices (feature_utilities.py:350-368).
+# ------------------------------------------------------------------
+
+def sliding_feature_windows(
+    df: DataFrame,
+    feature_col: str,
+    window_size: int,
+    shift: int,
+    entity: str = "image_id",
+    ts: str = "ts",
+    min_points: int | None = None,
+) -> DataFrame:
+    """All full windows of `window_size` points stepping back from the
+    series end by `shift`.  Output: (entity, win_end_ts, win_start_ts,
+    n_points, features array).
+
+    anchor rule: row i (1-based from series start, length n) hosts a
+    window iff (n - i) % shift == 0 and i >= window_size — the same
+    index set as the reference's  `range(end, start, -shift)` walk.
+    """
+    w_order = Window.partitionBy(entity).orderBy(ts)
+    w_frame = w_order.rowsBetween(-(window_size - 1), 0)
+    n_total = Window.partitionBy(entity)
+    out = (
+        df.withColumn("_rn", F.row_number().over(w_order))
+        .withColumn("_n", F.count(F.lit(1)).over(n_total))
+        .withColumn("_feat", F.collect_list(feature_col).over(w_frame))
+        .withColumn("_wstart", F.min(ts).over(w_frame))
+        .filter(
+            ((F.col("_n") - F.col("_rn")) % shift == 0)
+            & (F.col("_rn") >= window_size)
+        )
+    )
+    if min_points is not None:
+        out = out.filter(F.col("_n") >= min_points)
+    return out.select(
+        F.col(entity),
+        F.col(ts).alias("win_end_ts"),
+        F.col("_wstart").alias("win_start_ts"),
+        F.size("_feat").alias("n_points"),
+        F.col("_feat").alias("features"),
+    )
+
+
+# ------------------------------------------------------------------
+# Repeat-pad backfill (reference W5, np_pad_repeat_slice
+# feature_utilities.py:26-45): tile a short series until it reaches
+# window_size.  Not SQL-expressible — Arrow grouped-map kernel.
+# ------------------------------------------------------------------
+
+def repeat_pad_windows(
+    df: DataFrame,
+    feature_cols: list[str],
+    window_size: int,
+    entity: str = "image_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """One output row per entity: the last `window_size` points of its
+    series, repeat-tiled when the series is shorter
+    (np.concatenate([slice]*reps)[:window_size] — reference W5).
+
+    Output: (entity, n_src_points, win_end_ts, features
+    array<array<double>>) with len(features) == window_size always.
+    """
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(entity, df.schema[entity].dataType),
+            T.StructField("n_src_points", T.IntegerType()),
+            T.StructField("win_end_ts", df.schema[ts].dataType),
+            T.StructField(
+                "features", T.ArrayType(T.ArrayType(T.DoubleType()))
+            ),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, kind="mergesort")
+        mat = pdf[feature_cols].to_numpy(dtype=np.float64)[-window_size:]
+        n = len(mat)
+        if n < window_size:
+            reps = int(np.ceil(window_size / n))
+            mat = np.concatenate([mat] * reps, axis=0)[:window_size]
+        return pd.DataFrame(
+            {
+                entity: [pdf[entity].iloc[0]],
+                "n_src_points": [int(len(pdf))],
+                "win_end_ts": [pdf[ts].iloc[-1]],
+                "features": [[list(r) for r in mat]],
+            }
+        )
+
+    return df.groupBy(entity).applyInPandas(kernel, schema=out_schema)
+
+
+def tumbling_agg(
+    df: DataFrame,
+    value_col: str,
+    duration: str = "1 day",
+    entity: str | None = "image_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """W11 tumbling time windows via F.window (fixed-duration buckets)."""
+    keys = [F.window(ts, duration).alias("win")]
+    if entity:
+        keys.insert(0, F.col(entity))
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value_col).alias("avg_val"),
+            F.min(value_col).alias("min_val"),
+            F.max(value_col).alias("max_val"),
+        )
+        .select(
+            *([entity] if entity else []),
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n", "avg_val", "min_val", "max_val",
+        )
+    )
+
+
+def month_grid_ranges(
+    df: DataFrame,
+    ts: str = "ts",
+    window_months: int = 6,
+) -> DataFrame:
+    """W7: month-boundary-anchored sliding ranges covering the data span.
+
+    Spark's F.window only slides by fixed seconds; calendar-month slides
+    need an explicit grid: derive [min,max] of ts, generate month starts
+    with sequence(), each range spans `window_months`.  The grid is tiny
+    (driver-scale) and broadcast into the interval join.
+    """
+    bounds = df.agg(
+        F.date_trunc("month", F.min(ts)).alias("lo"),
+        F.date_trunc("month", F.max(ts)).alias("hi"),
+    )
+    return bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 month"))
+        ).alias("range_start")
+    ).select(
+        "range_start",
+        (F.col("range_start") + F.expr(f"interval {window_months} month")).alias(
+            "range_end"
+        ),
+    )
+
+
+def range_slice_join(
+    df: DataFrame,
+    ranges: DataFrame,
+    entity: str = "image_id",
+    ts: str = "ts",
+    start: str = "range_start",
+    end: str = "range_end",
+) -> DataFrame:
+    """J3: assign each fact row to every (broadcast) range covering it —
+    start-inclusive, end-exclusive like
+    np_array_extract_slices_for_time_ranges (feature_utilities.py:330-331)."""
+    return df.join(
+        F.broadcast(ranges),
+        (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)),
+        "inner",
+    )
