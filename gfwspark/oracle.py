@@ -1,0 +1,97 @@
+"""Numpy reference semantics — the golden-vector oracle (SURVEY.md §5).
+
+Independent re-implementations (from the reference's documented
+behavior, not its code) of the window kernels the engine must match
+`np.allclose` at every entity×timestamp:
+
+- ``repeat_pad``           ~ np_pad_repeat_slice (feature_utilities.py:26-45)
+- ``sliding_slices``       ~ np_array_extract_all_fixed_slices (:350-368)
+- ``dense_interval_labels``~ add_labels fill (fishing_feature_generation.py:52-68)
+- ``asof_backward``        ~ backward-only point-in-time lookup
+- ``session_ids``          ~ gap-based sessionization (objectives.py:340-380)
+
+All operate on per-entity numpy arrays sorted ascending by timestamp —
+the reference's core invariant (feature_utilities.py:405-407).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def repeat_pad(mat: np.ndarray, window_size: int) -> np.ndarray:
+    """Tile `mat` (rows = points) until it has `window_size` rows, then
+    truncate: np.concatenate([mat]*reps)[:window_size]."""
+    if len(mat) >= window_size:
+        return mat[-window_size:]
+    reps = int(np.ceil(window_size / len(mat)))
+    return np.concatenate([mat] * reps, axis=0)[:window_size]
+
+
+def sliding_slices(
+    n: int, window_size: int, shift: int
+) -> list[tuple[int, int]]:
+    """Index ranges [start, end) of all full windows stepping back from
+    the series end by `shift` (reference W1 anchor rule)."""
+    out = []
+    end = n
+    while end - window_size >= 0:
+        out.append((end - window_size, end))
+        end -= shift
+    return sorted(out)
+
+
+def dense_interval_labels(
+    ts: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    values: np.ndarray,
+    default: float = -1.0,
+) -> np.ndarray:
+    """Engine semantics for point-in-interval labels: each point takes
+    the value of the latest-starting interval whose start <= ts, if that
+    interval still covers ts (start <= ts <= end, both inclusive);
+    `default` otherwise.  Intervals are processed sorted by start."""
+    order = np.argsort(starts, kind="mergesort")
+    starts, ends, values = starts[order], ends[order], values[order]
+    out = np.full(len(ts), default, dtype=np.float64)
+    for s, e, v in zip(starts, ends, values):
+        mask = (ts >= s) & (ts <= e)
+        out[mask] = v
+        # latest-starting wins even when it no longer covers: points after
+        # its end but >= its start revert to default
+        past = (ts > e) & (ts >= s)
+        out[past] = default
+    return out
+
+
+def asof_backward(
+    ts: np.ndarray, ann_ts: np.ndarray, ann_val: np.ndarray
+) -> np.ndarray:
+    """Most recent annotation value with ann_ts <= ts; NaN if none."""
+    if len(ann_ts) == 0:
+        return np.full(len(ts), np.nan)
+    order = np.argsort(ann_ts, kind="mergesort")
+    ann_ts, ann_val = ann_ts[order], ann_val[order]
+    idx = np.searchsorted(ann_ts, ts, side="right") - 1
+    return np.where(idx >= 0, ann_val[np.clip(idx, 0, None)], np.nan)
+
+
+def session_ids(ts_us: np.ndarray, gap_us: int) -> np.ndarray:
+    """0-based session ids: new session when gap to previous > gap_us."""
+    if len(ts_us) == 0:
+        return np.array([], dtype=np.int64)
+    gaps = np.diff(ts_us)
+    new = np.concatenate([[1], (gaps > gap_us).astype(np.int64)])
+    return np.cumsum(new) - 1
+
+
+def sliding_mean(x: np.ndarray, window_size: int) -> np.ndarray:
+    """Backward rows-frame mean with NaN skipping (matches SQL AVG over
+    ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)."""
+    out = np.empty(len(x), dtype=np.float64)
+    for i in range(len(x)):
+        w = x[max(0, i - window_size + 1) : i + 1]
+        w = w[~np.isnan(w)]
+        out[i] = w.mean() if len(w) else np.nan
+    return out

@@ -1,0 +1,68 @@
+"""Layout invariants: secondary sort, skew detection, salting."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from gfwspark import layout, tables
+
+
+def test_partition_sorted_invariant(spark):
+    df = tables.synthesize_image_caption(spark, n_entities=12, rows_per_entity=10)
+    sorted_df = layout.partition_sorted(df, num_partitions=4)
+    assert layout.assert_sorted_within_entities(sorted_df) == 0
+
+    # entities are contiguous within partitions: each entity maps to
+    # exactly one partition id
+    pid = sorted_df.withColumn("pid", F.spark_partition_id())
+    multi = (
+        pid.groupBy("image_id")
+        .agg(F.countDistinct("pid").alias("np"))
+        .filter(F.col("np") > 1)
+        .count()
+    )
+    assert multi == 0
+
+
+def test_detect_skew_finds_hot_entity(spark):
+    df = tables.synthesize_image_caption(spark, n_entities=12, rows_per_entity=10)
+    hot = layout.detect_skew(df, hot_threshold_rows=50).toPandas()
+    assert "img_000000" in set(hot.image_id)
+
+
+def test_salting_partitions_and_remerges(spark):
+    df = tables.synthesize_image_caption(spark, n_entities=12, rows_per_entity=10)
+    hot = layout.detect_skew(df, hot_threshold_rows=50)
+    salted = layout.salted(df, n_salts=4, hot_keys=hot)
+
+    # cold keys keep salt 0; hot key spreads over >1 salt
+    cold = salted.filter(F.col("image_id") == "img_000002")
+    assert cold.select(F.countDistinct("salt")).first()[0] == 1
+    hot_salts = (
+        salted.filter(F.col("image_id") == "img_000000")
+        .select(F.countDistinct("salt"))
+        .first()[0]
+    )
+    assert hot_salts > 1
+
+    # two-phase agg over (entity, salt) re-merged == direct agg
+    direct = df.groupBy("image_id").agg(F.count(F.lit(1)).alias("n")).toPandas()
+    twophase = (
+        salted.groupBy("image_id", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .groupBy("image_id")
+        .agg(F.sum("pn").alias("n"))
+        .toPandas()
+    )
+    a = direct.sort_values("image_id").reset_index(drop=True)
+    b = twophase.sort_values("image_id").reset_index(drop=True)
+    assert (a["n"].to_numpy() == b["n"].to_numpy()).all()
+
+
+def test_salt_is_deterministic(spark):
+    df = tables.synthesize_image_caption(spark, n_entities=6, rows_per_entity=8)
+    a = layout.salted(df, n_salts=8).select("image_id", "ts", "salt").toPandas()
+    b = layout.salted(df.repartition(7), n_salts=8).select("image_id", "ts", "salt").toPandas()
+    a = a.sort_values(["image_id", "ts"]).reset_index(drop=True)
+    b = b.sort_values(["image_id", "ts"]).reset_index(drop=True)
+    assert (a["salt"].to_numpy() == b["salt"].to_numpy()).all()

@@ -1,0 +1,73 @@
+"""Binary payload round-trip: PNG lossless, QNT lossy PSNR ≥ 40 dB,
+caption byte-equality through the engine (BASELINE.json input_hint)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from gfwspark import multimodal, tables
+
+
+def test_png_roundtrip_lossless():
+    px = multimodal.make_pixels("img_000007", 3, w=64, h=48)
+    back = multimodal.decode_png(multimodal.encode_png(px))
+    assert np.array_equal(px, back)
+    assert multimodal.psnr(px, back) == float("inf")
+
+
+def test_qnt_roundtrip_psnr():
+    px = multimodal.make_pixels("img_000001", 0, w=96, h=64)
+    back = multimodal.decode_qnt(multimodal.encode_qnt(px))
+    p = multimodal.psnr(px, back)
+    assert 40.0 <= p < 60.0  # real lossy codec, not a fake pass
+
+
+def test_unknown_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.encode_image(np.zeros((2, 2, 3), dtype=np.uint8), "jpeg")
+
+
+def test_spark_decode_stats_and_caption_equality(spark):
+    df = tables.synthesize_image_caption(
+        spark, n_entities=6, rows_per_entity=4, seed=42, with_bytes=True
+    )
+    out = multimodal.with_decoded_stats(df).toPandas()
+    assert len(out) > 0
+    assert out["mean_lum"].notna().all()
+    assert (out["psnr_db"] >= 40.0).all()
+
+    # per-row pixel + caption invariant vs the deterministic generator
+    for _, row in out.head(20).iterrows():
+        version = sorted(
+            out[out.image_id == row.image_id]["ts"].tolist()
+        ).index(row.ts)
+        want = multimodal.make_pixels(
+            row.image_id, version, w=int(row.w), h=int(row.h), seed=42
+        )
+        got = multimodal.decode_image(bytes(row["bytes"]), row.fmt)
+        if row.fmt == "png":
+            assert np.array_equal(got, want)  # lossless: exact
+        else:
+            assert multimodal.psnr(want, got) >= 40.0  # lossy: PSNR gate
+        assert isinstance(row.caption, str)
+
+    # caption equality: decode path must not touch captions
+    orig = df.select("image_id", "ts", "caption").toPandas()
+    joined = orig.merge(
+        out[["image_id", "ts", "caption"]], on=["image_id", "ts"], suffixes=("_a", "_b")
+    )
+    assert (joined["caption_a"] == joined["caption_b"]).all()
+
+
+def test_bytes_dropped_before_hot_path(spark):
+    """featurize() never references the binary column — the plan should
+    prune it from the scan (100 TB: don't shuffle image bytes)."""
+    from gfwspark import features
+
+    df = tables.synthesize_image_caption(
+        spark, n_entities=4, rows_per_entity=4, with_bytes=True
+    )
+    out = features.featurize(df.drop("bytes"))
+    assert "bytes" not in out.columns
