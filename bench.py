@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ...}
+
+--scaling mode (north rule): run the flagship featurization job at two
+parallelism levels (local[8] vs local[32]) in separate subprocesses
+(clean JVMs), report images/sec at both plus scaling efficiency
+throughput(4N) / (4 * throughput(N)), and write BENCH/BASELINE.md.
+
+Queries are materialized with the noop sink (full execution, no driver
+collect) — the honest analog of writing to a table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "flagship_featurize",
+    "asof_join_union",
+    "asof_join_cogroup",
+    "sessionize",
+    "sliding_windows",
+    "tumbling_daily",
+    "entity_minmax_agg",
+    "topk_per_group",
+    "dedup_exact",
+    "doc_stats",
+]
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
+    from gfwspark import queries
+    from gfwspark.session import get_spark
+
+    spark = get_spark("gfwspark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries.all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)
+        _materialize(df)  # warm: plan + JIT + page cache
+        t0 = time.perf_counter()
+        _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+    return timings
+
+
+SCALE_INPUT = os.environ.get("SPARK_GRAFT_SCALE_INPUT", "/tmp/gfwspark_scale_input")
+SCALE_REP = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "64"))
+
+
+def _ensure_scale_input(spark, sf_dir: str) -> str:
+    """Materialize a replicated image table (deterministic, JVM-only):
+    each replica r gets image_id suffix _r, same per-entity series →
+    featurization work × SCALE_REP with identical semantics.  The
+    flagship at sf0.1 finishes in ~1 s, where scheduler overhead
+    dominates; the scaling criterion needs compute-bound runs."""
+    import pyspark.sql.functions as F
+
+    from gfwspark import tables
+
+    path = f"{SCALE_INPUT}_rep{SCALE_REP}.parquet"
+    if Path(path).exists():
+        return path
+    img = tables.image_caption_from_events(spark, sf_dir)
+    big = img.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(SCALE_REP - 1)))
+    ).withColumn("image_id", F.concat_ws("_", "image_id", "rep")).drop("rep")
+    # many small files → the scan stage parallelizes at any core
+    # count (one ~100 MB file would pin stage 1 to a single task)
+    big.repartition(128, "image_id").write.mode("overwrite").parquet(path)
+    return path
+
+
+def _flagship_throughput(sf_dir: str, cpus: int) -> dict:
+    """Measure flagship featurization images/sec at one parallelism
+    over the replicated (compute-bound) input."""
+    import pyspark.sql.functions as F
+
+    from gfwspark import features, tables
+    from gfwspark.session import get_spark
+
+    spark = get_spark(f"gfwspark-scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    path = _ensure_scale_input(spark, sf_dir)
+    # annotations replicated like the facts so every entity really has
+    # as-of matches (honest as-of throughput, not a null fast path)
+    ann = (
+        tables.annotations_from_events(spark, sf_dir)
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(SCALE_REP - 1))))
+        .withColumn("image_id", F.concat_ws("_", "image_id", "rep"))
+        .drop("rep")
+        .groupBy("image_id", "start_ts").agg(F.max("label").alias("label"))
+    )
+
+    def job():
+        img = spark.read.parquet(path)
+        out = features.featurize(
+            img, ann, window_size=8, session_gap_s=3600, order_tiebreak="event_id",
+        )
+        # deliverable = the feature vectors (SURVEY §3.2): selecting them
+        # lets Catalyst prune captions/fmt below the entity shuffle, so
+        # the exchange carries only (entity, ts, tiebreak, phash, ints)
+        _materialize(out.select(
+            "image_id", "ts", "event_id", "phash_hamming", "aspect",
+            "caption_tokens", "log_dt", "ham_w_avg", "ham_w_max",
+            "tok_w_avg", "aspect_w_min", "n_in_window", "session_id",
+            "asof_label",
+        ))
+
+    n_rows = spark.read.parquet(path).count()
+    job()  # warm
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        job()
+        runs.append(time.perf_counter() - t0)
+    best = min(runs)
+    spark.stop()
+    return {"cpus": cpus, "rows": n_rows, "sec": round(best, 3),
+            "images_per_sec": round(n_rows / best, 1)}
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        sub = "--scaling-worker"
+        results = []
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, sub, str(cpus)],
+                capture_output=True, text=True, check=True,
+            )
+            results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        n, n4 = results
+        eff = n4["images_per_sec"] / (4 * n["images_per_sec"])
+        report = {
+            "throughput_local8": n, "throughput_local32": n4,
+            "scaling_efficiency_8_to_32": round(eff, 3), "sf_dir": SF_DIR,
+        }
+        print(json.dumps(report))
+        _write_baseline_md(report)
+        return
+    if "--scaling-worker" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--scaling-worker") + 1])
+        print(json.dumps(_flagship_throughput(SF_DIR, cpus)))
+        return
+
+    timings = run_headline(SF_DIR, CPUS)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (warm, noop sink)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+def _write_baseline_md(report: dict) -> None:
+    p = Path(__file__).resolve().parent / "BENCH" / "BASELINE.md"
+    p.parent.mkdir(exist_ok=True)
+    n, n4 = report["throughput_local8"], report["throughput_local32"]
+    p.write_text(
+        f"""# BENCH baseline — measured (north rule evidence)
+
+Flagship featurization job (derived features + backward as-of label
+join + sliding window aggregates + sessionization) over the
+image_caption table derived from `{report['sf_dir']}/events.parquet`,
+materialized with the noop sink, best of 3 warm runs.  Two-cluster-size
+criterion evidenced by identical job at two local parallelism levels
+(no real cluster in the sandbox):
+
+| parallelism | rows | wall s | images/sec |
+|---|---|---|---|
+| local[8]  (N cores)  | {n['rows']} | {n['sec']} | {n['images_per_sec']} |
+| local[32] (4N cores) | {n4['rows']} | {n4['sec']} | {n4['images_per_sec']} |
+
+**Scaling efficiency (N → 4N cores): {report['scaling_efficiency_8_to_32']}**
+(target ≥ 0.8 per BASELINE.json north rule; measured as
+throughput(4N) / (4 × throughput(N))).
+
+Caveats: single-JVM local mode understates scaling (shared scheduler,
+GC, page cache, and the ~small sf0.1 input limits parallel headroom vs
+the 10^12-image design point where per-core work dominates).
+"""
+    )
+
+
+if __name__ == "__main__":
+    main()

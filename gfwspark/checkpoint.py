@@ -1,0 +1,131 @@
+"""Resumable runs: per-partition checkpoints with lineage manifests.
+
+North-rule requirement: "resumable from per-partition checkpoints with
+lineage manifests and per-partition metrics written alongside Iceberg
+snapshots".  The reference's operational analog is CloudML resume-from-
+checkpoint (README.md:84-89); there is no in-repo equivalent, so this
+layer is engine-native:
+
+- The job's input is bucketed into `n_buckets` deterministic entity
+  buckets (crc32 of the entity key — stable across runs and cluster
+  sizes, unlike spark_partition_id).
+- Each completed bucket writes `part=<i>` parquet plus a manifest JSON
+  `_manifests/bucket_<i>.json` carrying lineage (input fingerprint,
+  bucket id, row count, min/max ts, wall time, engine version).
+- ``run_resumable`` skips buckets whose manifest matches the current
+  input fingerprint — a restart recomputes only missing buckets and the
+  final table is bit-identical (determinism tests guarantee per-bucket
+  outputs don't depend on which run produced them).
+
+On Iceberg (prod) the same manifests ride along as snapshot summary
+properties; on the local filesystem they are plain JSON next to the
+parquet output.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+import gfwspark
+
+
+def bucket_of(entity_col: str, n_buckets: int):
+    """Deterministic bucket id for an entity key (crc32 mod n)."""
+    return (F.crc32(F.col(entity_col).cast("string")) % n_buckets).cast("int")
+
+
+def input_fingerprint(df: DataFrame, entity: str, ts: str) -> str:
+    """Cheap order-insensitive fingerprint of the input: row count +
+    xor-ish sum of row hashes.  Used to invalidate stale checkpoints."""
+    agg = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.crc32(F.concat_ws("|", F.col(entity), F.col(ts).cast("string")))).alias("h"),
+    ).first()
+    return f"n={agg['n']},h={agg['h']}"
+
+
+def _manifest_dir(output_path: str) -> Path:
+    return Path(output_path) / "_manifests"
+
+
+def completed_buckets(output_path: str, fingerprint: str) -> set[int]:
+    done = set()
+    mdir = _manifest_dir(output_path)
+    if not mdir.exists():
+        return done
+    for p in mdir.glob("bucket_*.json"):
+        try:
+            m = json.loads(p.read_text())
+        except json.JSONDecodeError:
+            continue
+        if m.get("input_fingerprint") == fingerprint and m.get("status") == "ok":
+            done.add(int(m["bucket"]))
+    return done
+
+
+def run_resumable(
+    df: DataFrame,
+    transform,
+    output_path: str,
+    entity: str = "image_id",
+    ts: str = "ts",
+    n_buckets: int = 8,
+    fail_after_bucket: int | None = None,
+) -> dict:
+    """Apply `transform(bucket_df) -> DataFrame` per entity bucket,
+    writing each bucket + manifest; resume skips completed buckets.
+
+    `fail_after_bucket` injects a mid-job crash (tests).  Returns a
+    summary dict {completed, skipped, total}.
+
+    Note: per-bucket sequential submission is deliberate — buckets are
+    the *checkpoint* granularity (coarse, e.g. 64 at prod scale), while
+    Spark parallelism lives *inside* each bucket job.  A bucket is the
+    unit of redo after a crash, exactly like the reference re-runs only
+    missing vessel files (run_inference.py:44-48 skips by path).
+    """
+    fp = input_fingerprint(df, entity, ts)
+    done = completed_buckets(output_path, fp)
+    mdir = _manifest_dir(output_path)
+    mdir.mkdir(parents=True, exist_ok=True)
+
+    bucketed = df.withColumn("_bucket", bucket_of(entity, n_buckets))
+    skipped, completed = sorted(done), []
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        t0 = time.time()
+        part = transform(bucketed.filter(F.col("_bucket") == b).drop("_bucket"))
+        out_dir = f"{output_path}/part={b}"
+        part.write.mode("overwrite").parquet(out_dir)
+        stats = part.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(ts).alias("min_ts"),
+            F.max(ts).alias("max_ts"),
+        ).first()
+        manifest = {
+            "bucket": b,
+            "status": "ok",
+            "input_fingerprint": fp,
+            "rows": stats["rows"],
+            "min_ts": str(stats["min_ts"]),
+            "max_ts": str(stats["max_ts"]),
+            "wall_s": round(time.time() - t0, 3),
+            "engine_version": gfwspark.__version__,
+            "output": out_dir,
+        }
+        (mdir / f"bucket_{b}.json").write_text(json.dumps(manifest, indent=1))
+        completed.append(b)
+        if fail_after_bucket is not None and b >= fail_after_bucket:
+            raise RuntimeError(f"injected failure after bucket {b}")
+
+    return {"completed": completed, "skipped": skipped, "total": n_buckets}
+
+
+def read_result(spark, output_path: str) -> DataFrame:
+    return spark.read.parquet(f"{output_path}/part=*")

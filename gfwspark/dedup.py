@@ -1,0 +1,203 @@
+"""Deduplication at training-data scale.
+
+Five strategies, each a standard technique re-expressed Spark-first:
+
+- exact:          groupBy(md5(text))                       (1 shuffle)
+- ngram Jaccard:  shingle explode → pair join → |∩|/|∪|    (co-partitioned)
+- MinHash + LSH:  K permutation mins → band buckets → join candidates
+- SimHash:        per-bit majority vote of token hashes → hamming buckets
+- embedding:      cosine near-dup via similarity.py
+
+Everything is built-in functions (the token/shingle hash is the shared
+32-bit md5 prefix, text.token_hash32) so the DuckDB oracle can replay
+each pipeline exactly.  At 100 TB: the shingle explode is the big
+intermediate — band bucketing (LSH) keeps the candidate join linear in
+near-duplicates instead of quadratic in documents.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from gfwspark.text import token_hash32, tokens_col
+
+# MinHash permutation parameters: h_i(x) = (A_i * x + B_i) mod P.
+# P = 2^31-1 (prime); A,B fixed (seeded offline, public constants) so
+# runs and the oracle agree.  x < 2^32, A < 2^13 → A*x + B < 2^45: ANSI-safe.
+MINHASH_P = (1 << 31) - 1
+MINHASH_AB = [
+    (4129, 4987), (5843, 1021), (6709, 7919), (3251, 6571),
+    (7127, 911), (2341, 5519), (4451, 3733), (6991, 2063),
+    (3517, 6367), (5279, 433), (7561, 3181), (2711, 7247),
+]
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-token shingle hashes per document: slide a k-window
+    over the token array (transform over indices — JVM-only), hash each
+    shingle string, explode, distinct."""
+    toks = tokens_col(text_col)
+    # sequence(0, size-k) inclusive gives size-k+1 windows; guard short docs
+    sh = F.when(F.size(toks) >= k, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .withColumn("sh_hash", token_hash32("shingle"))
+        .select(id_col, "sh_hash")
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 12) -> DataFrame:
+    """K-permutation MinHash signature: one row per doc, columns mh_0..mh_{K-1}."""
+    aggs = [
+        F.min((F.col("sh_hash") * A + B) % MINHASH_P).alias(f"mh_{i}")
+        for i, (A, B) in enumerate(MINHASH_AB[:n_hashes])
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(
+    sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows = n_hashes/bands) and self-join on
+    (band_idx, band_key) → candidate pairs (a < b).  The join is on the
+    band key: cost linear in bucket collisions, not |docs|^2."""
+    rows = n_hashes // bands
+    banded = sig.select(
+        F.col(id_col),
+        *[
+            F.concat_ws("_", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+                f"band_{b}"
+            )
+            for b in range(bands)
+        ],
+    )
+    stacked = banded.selectExpr(
+        id_col,
+        "stack({}, {}) as (band_idx, band_key)".format(
+            bands, ", ".join(f"{b}, band_{b}" for b in range(bands))
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: candidates verified with the exact
+    shingle-set Jaccard (estimate never reported — only true J >= t)."""
+    sh = shingles(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, id_col, n_hashes)
+    cand = lsh_candidates(sig, id_col, n_hashes, bands)
+    return jaccard_verify(cand, sh, id_col, threshold)
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from their shingle sets."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed(id_col, "doc_b"),
+            ["doc_b", "sh_hash"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard >= threshold, via the shingle
+    inverted index (pairs generated only for docs sharing a shingle —
+    the standard positional-join prune, never a cross join)."""
+    sh = shingles(df, id_col, text_col, k)
+    a = sh.withColumnRenamed(id_col, "doc_a")
+    b = sh.withColumnRenamed(id_col, "doc_b")
+    pairs = (
+        a.join(b, ["sh_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        pairs.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-document SimHash: bit b set iff the majority of token hashes
+    have bit b set.  Explode tokens → per-bit sums → recombine.  All
+    shifts/sums are int64-safe."""
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    h = toks.withColumn("th", token_hash32("tok"))
+    votes = h.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[
+            F.sum(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))).alias(f"bit_{b}")
+            for b in range(bits)
+        ],
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"bit_{b}") * 2 > F.col("n_tok"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), sim.alias("simhash"), "n_tok")

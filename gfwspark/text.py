@@ -1,0 +1,131 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All operators are built-in-function-only (JVM-side, codegen'd) except
+where noted; each has a `queries()` entry with a DuckDB oracle.
+
+- token counting: whitespace split + a BPE-ish subword regex count
+- quality scoring: length / punctuation / stopword / uppercase ratios
+- language ID: stopword-hit heuristic over a tiny per-language lexicon
+  (broadcast join, no Python)
+- document fingerprinting: rolling polynomial hash over tokens
+  (expressed with aggregate() — stays in codegen)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# tiny per-language stopword lexicons (public common words)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "une", "dans", "que"],
+    "es": ["el", "la", "de", "que", "los", "una", "es", "por", "con", "para"],
+}
+
+# rolling-hash modulus: 2^45 keeps acc*31 + 2^32 within int64 under ANSI
+_FP_MOD = 1 << 45
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokens of trimmed text; empty text → empty array."""
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword count: greedy
+    alphanumeric runs of length <= 4 approximate byte-pair segments
+    (a cheap, deterministic proxy for tokenizer load estimation)."""
+    return df.withColumn("n_tokens", F.size(tokens_col(text_col))).withColumn(
+        "n_subwords",
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]{1,4}"), 0)),
+    )
+
+
+def token_hash32(col):
+    """Shared 32-bit token hash: first 8 hex digits of md5, as bigint.
+    Bit-identical in Spark (conv(substr(md5,1,8),16,10)) and DuckDB
+    (('0x'||substr(md5,1,8))::bigint) — the cross-engine currency for
+    minhash/simhash/fingerprints.  (The reference's stable_hash is the
+    same shape: last 8 hex digits of blake2b, metadata.py:130-133.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: penalize very short or very
+    long docs, high punctuation density, low alpha ratio.  All ratios
+    are single IEEE divisions → oracle-exact."""
+    length = F.length(F.col(text_col))
+    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    df = (
+        df.withColumn("n_chars_actual", length.cast("bigint"))
+        .withColumn(
+            "alpha_ratio",
+            F.round(alpha.cast("double") / F.greatest(length, F.lit(1)), 6),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(punct.cast("double") / F.greatest(length, F.lit(1)), 6),
+        )
+    )
+    len_ok = F.when((length >= 20) & (length <= 5000), F.lit(1.0)).otherwise(F.lit(0.5))
+    return df.withColumn(
+        "quality",
+        F.round(
+            len_ok
+            * F.least(F.lit(1.0), F.col("alpha_ratio") * 1.25)
+            * (F.lit(1.0) - F.least(F.lit(1.0), F.col("punct_ratio") * 5)),
+            6,
+        ),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: explode tokens, broadcast-join the
+    lexicon, count hits per (doc, lang), keep argmax.  Ties break
+    alphabetically; docs with zero hits → 'und'."""
+    spark = df.sparkSession
+    lex = spark.createDataFrame(
+        [(w, lang) for lang, ws in STOPWORDS.items() for w in ws],
+        "word string, cand_lang string",
+    )
+    toks = df.select(
+        "doc_id", F.explode(tokens_col(text_col)).alias("word")
+    ).withColumn("word", F.lower(F.regexp_replace("word", r"[^A-Za-z]", "")))
+    hits = (
+        toks.join(F.broadcast(lex), "word")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("cand_lang"))
+    best = (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "hits")
+    )
+    return df.join(best, "doc_id", "left").withColumn(
+        "pred_lang", F.coalesce("pred_lang", F.lit("und"))
+    ).withColumn("hits", F.coalesce("hits", F.lit(0)))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling token hash (document fingerprint):
+    fp = fold(tokens, acc -> (acc*31 + hash32(token)) mod 2^45).
+    Entirely in aggregate() — no Python, distribution-safe; the modulus
+    keeps acc*31 + 2^32 < 2^51, ANSI-overflow-proof on both engines."""
+    return df.withColumn(
+        "fingerprint",
+        F.aggregate(
+            tokens_col(text_col),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + token_hash32(x)) % F.lit(_FP_MOD),
+        ),
+    )

@@ -1,0 +1,61 @@
+"""Resume-from-checkpoint: crash mid-job, restart, identical output."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from gfwspark import checkpoint, features, tables
+
+
+def _transform(df):
+    return features.featurize(df, window_size=4)
+
+
+def test_resume_after_crash_identical_output(spark, tmp_path):
+    df = tables.synthesize_image_caption(spark, n_entities=16, rows_per_entity=8)
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+
+    # uninterrupted reference run
+    checkpoint.run_resumable(df, _transform, out_a, n_buckets=4)
+
+    # crashed run: fails after bucket 1, restart completes the rest
+    with pytest.raises(RuntimeError, match="injected failure"):
+        checkpoint.run_resumable(df, _transform, out_b, n_buckets=4, fail_after_bucket=1)
+    summary = checkpoint.run_resumable(df, _transform, out_b, n_buckets=4)
+    assert summary["skipped"] == [0, 1]
+    assert summary["completed"] == [2, 3]
+
+    cols = ["image_id", "ts", "phash_hamming", "ham_w_avg", "session_id"]
+    a = (
+        checkpoint.read_result(spark, out_a).select(*cols).toPandas()
+        .sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    b = (
+        checkpoint.read_result(spark, out_b).select(*cols).toPandas()
+        .sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_manifests_carry_lineage(spark, tmp_path):
+    df = tables.synthesize_image_caption(spark, n_entities=8, rows_per_entity=6)
+    out = str(tmp_path / "m")
+    checkpoint.run_resumable(df, _transform, out, n_buckets=2)
+    manifests = sorted((tmp_path / "m" / "_manifests").glob("bucket_*.json"))
+    assert len(manifests) == 2
+    m = json.loads(manifests[0].read_text())
+    for key in ("input_fingerprint", "rows", "min_ts", "max_ts", "wall_s", "engine_version"):
+        assert key in m
+
+
+def test_changed_input_invalidates_checkpoints(spark, tmp_path):
+    df1 = tables.synthesize_image_caption(spark, n_entities=8, rows_per_entity=6)
+    df2 = tables.synthesize_image_caption(spark, n_entities=8, rows_per_entity=7)
+    out = str(tmp_path / "inv")
+    checkpoint.run_resumable(df1, _transform, out, n_buckets=2)
+    summary = checkpoint.run_resumable(df2, _transform, out, n_buckets=2)
+    assert summary["skipped"] == []  # fingerprint changed → full recompute
