@@ -669,3 +669,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+# register the training-data-ops catalog (dedup/text/similarity)
+from gfwspark import queries_ml  # noqa: E402,F401  isort:skip

@@ -1,0 +1,270 @@
+"""Training-data-ops queries: dedup, text analysis, similarity search.
+
+Registered into the same catalog as gfwspark.queries; every oracle
+replays the exact pipeline in DuckDB using the shared md5-prefix token
+hash (text.token_hash32), fixed MinHash constants and fixed LSH
+hyperplanes, so value-hashes match.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gfwspark import dedup, similarity, tables, text
+from gfwspark.queries import register
+from gfwspark.text import _FP_MOD, STOPWORDS
+
+# ---------------------------------------------------------------- SQL bits
+
+# DuckDB: whitespace tokens of trimmed text (empty → [])
+_D_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+# DuckDB 32-bit md5-prefix hash of a string expression {x}
+def _d_hash32(x: str) -> str:
+    return f"('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+# shingle CTE: k=3 token windows, short docs → whole text, distinct hashes
+_D_SHINGLES = f"""
+SELECT DISTINCT doc_id, {_d_hash32('shingle')} AS sh_hash FROM (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      list_transform(generate_series(1, len(toks) - 2),
+                     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+    ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+)
+"""
+
+
+# ---------------------------------------------------------------- queries
+
+_TOKCOUNT_ORACLE = f"""
+SELECT doc_id,
+  cast(len({_D_TOKS}) AS int) AS n_tokens,
+  cast(len(regexp_extract_all(lower(text), '[a-z0-9]{{1,4}}')) AS int) AS n_subwords
+FROM documents
+"""
+
+
+@register("token_counts", _TOKCOUNT_ORACLE)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return text.with_token_counts(d).select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_subwords").cast("int").alias("n_subwords"),
+    )
+
+
+_QUALITY_ORACLE = """
+WITH q AS (
+  SELECT doc_id,
+    cast(length(text) AS bigint) AS n_chars_actual,
+    round(cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS double)
+          / greatest(length(text), 1), 6) AS alpha_ratio,
+    round(cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS double)
+          / greatest(length(text), 1), 6) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id, n_chars_actual, alpha_ratio, punct_ratio,
+  round(
+    (CASE WHEN n_chars_actual BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.5 END)
+    * least(1.0, alpha_ratio * 1.25)
+    * (1.0 - least(1.0, punct_ratio * 5)), 6) AS quality
+FROM q
+"""
+
+
+@register("doc_quality", _QUALITY_ORACLE)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return text.with_quality_score(d).select(
+        "doc_id", "n_chars_actual", "alpha_ratio", "punct_ratio", "quality"
+    )
+
+
+_lex_values = ", ".join(
+    f"('{w}', '{lang}')" for lang, ws in STOPWORDS.items() for w in ws
+)
+_LANGID_ORACLE = f"""
+WITH lex(word, cand_lang) AS (VALUES {_lex_values}),
+toks AS (
+  SELECT doc_id,
+    lower(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS word
+  FROM (SELECT doc_id, unnest({_D_TOKS}) AS word FROM documents)
+),
+hits AS (
+  SELECT t.doc_id, l.cand_lang, count(*) AS hits
+  FROM toks t JOIN lex l ON t.word = l.word
+  GROUP BY t.doc_id, l.cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang AS pred_lang, hits,
+    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rk
+  FROM hits
+)
+SELECT d.doc_id, d.lang,
+  coalesce(b.pred_lang, 'und') AS pred_lang,
+  coalesce(b.hits, 0) AS hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+"""
+
+
+@register("lang_id", _LANGID_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return text.lang_id(d).select("doc_id", "lang", "pred_lang", "hits")
+
+
+_FP_ORACLE = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT,
+                 list_transform({_D_TOKS}, t -> {_d_hash32('t')})),
+    (acc, x) -> (acc * 31 + x) % {_FP_MOD}) AS fingerprint
+FROM documents
+"""
+
+
+@register("doc_fingerprint", _FP_ORACLE)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return text.with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+_mh_exprs = ", ".join(
+    f"min((sh_hash * {A} + {B}) % {dedup.MINHASH_P}) AS mh_{i}"
+    for i, (A, B) in enumerate(dedup.MINHASH_AB)
+)
+_MINHASH_ORACLE = f"""
+WITH sh AS ({_D_SHINGLES})
+SELECT doc_id, {_mh_exprs} FROM sh GROUP BY doc_id
+"""
+
+
+@register("minhash_signatures", _MINHASH_ORACLE)
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(dedup.shingles(d))
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH sh AS ({_D_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+  round(cast(p.n_inter AS double) / (sa.n_sh + sb.n_sh - p.n_inter), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE round(cast(p.n_inter AS double) / (sa.n_sh + sb.n_sh - p.n_inter), 6) >= 0.5
+"""
+
+
+@register("ngram_jaccard_dups", _NGRAM_JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.5)
+
+
+@register("minhash_lsh_dups", None)  # approx candidate set: rows-only check
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dups(d, threshold=0.5)
+
+
+_simhash_bits = 16
+_sim_sums = ", ".join(
+    f"sum((th >> {b}) & 1) AS bit_{b}" for b in range(_simhash_bits)
+)
+_sim_combine = " + ".join(
+    f"(CASE WHEN bit_{b} * 2 > n_tok THEN {1 << b} ELSE 0 END)"
+    for b in range(_simhash_bits)
+)
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_d_hash32('tok')} AS th
+  FROM (SELECT doc_id, unnest({_D_TOKS}) AS tok FROM documents)
+),
+votes AS (
+  SELECT doc_id, count(*) AS n_tok, {_sim_sums}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, cast({_sim_combine} AS bigint) AS simhash, n_tok
+FROM votes
+"""
+
+
+@register("simhash", _SIMHASH_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    return dedup.simhash(d, bits=_simhash_bits)
+
+
+# ------------------------------------------------------ similarity search
+
+def _d_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _d_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({a}, x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x))"
+    )
+
+
+_BRUTE_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+    round({_d_dot('c.embedding', 'q.q_emb')}
+          / ({_d_norm('c.embedding')} * {_d_norm('q.q_emb')}), 6) AS cosine
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.q_id
+),
+r AS (
+  SELECT q_id, vec_id, cosine,
+    cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS int) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("ann_brute_topk", _BRUTE_TOPK_ORACLE)
+def q_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, q, k=5)
+
+
+@register("ann_lsh_topk", None)  # approximate: rows-only check
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, q, k=5)
+
+
+@register("embedding_near_dups", None)  # approximate: rows-only check
+def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(emb, threshold=0.9)

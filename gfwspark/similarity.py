@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k of each query vector against
+  the corpus.  Dot products via F.aggregate/zip_with (JVM-side fold, no
+  Python); top-k via window row_number.  The correctness baseline.
+- ``lsh_topk``: random-hyperplane LSH bucketing — each vector hashed to
+  a signbit bucket by H fixed hyperplanes (deterministic public
+  constants); candidates share a bucket; exact cosine re-rank inside
+  buckets.  The scale path: the candidate join is linear in bucket
+  occupancy, not |corpus| × |queries|.
+- ``embedding_near_dups``: cosine >= threshold near-duplicate pairs via
+  the same bucketing (axis for dedup.py).
+
+At 100 TB the corpus side is bucketed once (write-side partitioning by
+bucket id); queries broadcast when small.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _norm_col(vec_col: str):
+    return F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_cosine(df: DataFrame, a: str = "embedding", b: str = "q_embedding") -> DataFrame:
+    """cosine(a,b) rounded to 6 (cross-engine float guard)."""
+    return df.withColumn(
+        "cosine", F.round(_dot(a, b) / (_norm_col(a) * _norm_col(b)), 6)
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast queries × corpus, cosine, row_number<=k.
+    Ties broken by corpus id — fully deterministic."""
+    q = queries.select(
+        F.col(q_id_col), F.col(vec_col).alias("q_embedding")
+    )
+    scored = with_cosine(
+        corpus.join(F.broadcast(q), F.col(id_col) != F.col(q_id_col)),
+        vec_col,
+        "q_embedding",
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
+# deterministic pseudo-random hyperplanes: component h,d of plane h is
+# sin(1 + h * 131 + d * 7) — reproducible on any engine, no RNG state.
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    return [
+        [float(np.sin(1 + h * 131 + d * 7)) for d in range(dim)]
+        for h in range(n_planes)
+    ]
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, dim: int | None = None
+) -> DataFrame:
+    """Signbit bucket id from n_planes fixed hyperplanes."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(n_planes, dim)
+    bucket = F.lit(0)
+    for h, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << h)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates = same bucket; exact cosine re-rank
+    within.  Recall < 1 by construction; multiprobe = union over extra
+    plane subsets if needed (not implemented round 1)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    c = with_lsh_bucket(corpus, vec_col, n_planes, dim)
+    q = with_lsh_bucket(
+        queries.select(F.col(q_id_col), F.col(vec_col).alias("q_embedding")),
+        "q_embedding",
+        n_planes,
+        dim,
+    )
+    cand = c.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col(q_id_col))
+    scored = with_cosine(cand, vec_col, "q_embedding")
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Cosine >= threshold pairs via bucket self-join (a < b)."""
+    c = with_lsh_bucket(corpus, vec_col, n_planes)
+    a = c.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = c.select(
+        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (_norm_col("va") * _norm_col("vb")),
+            6,
+        ),
+    )
+    return (
+        scored.filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )
