@@ -95,3 +95,36 @@ def sliding_mean(x: np.ndarray, window_size: int) -> np.ndarray:
         w = w[~np.isnan(w)]
         out[i] = w.mean() if len(w) else np.nan
     return out
+
+
+def aligned_windows_np(
+    mat: "np.ndarray", window_size: int, shift: int
+) -> list["np.ndarray"]:
+    """Reference semantics for windows.aligned_windows: head-pad with
+    the first row until len == window_size + k*shift, then step by
+    shift."""
+    n = len(mat)
+    if n == 0:
+        return []
+    if n <= window_size:
+        pad = window_size - n
+    else:
+        pad = (-(n - window_size)) % shift
+    if pad:
+        mat = np.concatenate([np.repeat(mat[:1], pad, axis=0), mat], axis=0)
+    return [
+        mat[s : s + window_size]
+        for s in range(0, len(mat) - window_size + 1, shift)
+    ]
+
+
+def ffill(x: "np.ndarray") -> "np.ndarray":
+    """Forward-fill NaNs with the last non-NaN value."""
+    out = x.astype(np.float64).copy()
+    last = np.nan
+    for i in range(len(out)):
+        if np.isnan(out[i]):
+            out[i] = last
+        else:
+            last = out[i]
+    return out

@@ -1,0 +1,121 @@
+"""Sources & sinks (SURVEY §2.1 S6–S11).
+
+The reference reads CSV metadata (DictReader, metadata.py:368-377),
+newline id lists (metadata.py:389-402), fishing-range CSVs with UTC
+timestamps (metadata.py:418-433), and writes JSON inference rows
+(run_inference.py:84-97) and CSV/BQ training tables
+(train/create_train_info.py:509-526).  Spark equivalents, schema-first:
+
+- every reader takes an explicit schema (never inferSchema on 100 TB —
+  schema inference is a full extra pass)
+- sinks write partitioned parquet (the Iceberg-layout stand-in:
+  partition columns + deterministic file layout) or JSON/CSV
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+# entity metadata CSV: the char_info/det_info analog
+# (classification/metadata_test.py:25-41: id,label,length,split,…)
+ENTITY_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("length", T.DoubleType()),
+        T.StructField("split", T.StringType()),
+    ]
+)
+
+# interval/annotation CSV: the fishing-range analog
+# (id,start_time,end_time,is_fishing — metadata.py:418-433)
+ANNOTATION_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("start_time", T.StringType()),
+        T.StructField("end_time", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def read_entity_info(spark: SparkSession, path: str) -> DataFrame:
+    """Header CSV → typed rows; blank labels dropped (reference P7,
+    metadata.py:313-316), duplicate ids resolved keep-first by file
+    order is NOT reproduced — dedup is explicit (A2 rank pattern)."""
+    df = spark.read.option("header", True).schema(ENTITY_INFO_SCHEMA).csv(path)
+    return df.filter(F.length(F.trim(F.coalesce("label", F.lit("")))) > 0)
+
+
+def read_id_list(spark: SparkSession, path: str) -> DataFrame:
+    """Newline-delimited id list (metadata.py:389-402): one trimmed,
+    non-empty id per row."""
+    return (
+        spark.read.text(path)
+        .select(F.trim("value").alias("image_id"))
+        .filter(F.length("image_id") > 0)
+    )
+
+
+def read_annotation_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Interval CSV with ISO or unix-epoch timestamps, forced UTC
+    (metadata.py:405-415 parses both forms)."""
+    raw = spark.read.option("header", True).schema(ANNOTATION_CSV_SCHEMA).csv(path)
+
+    def parse(col: str):
+        c = F.col(col)
+        return F.when(
+            c.rlike(r"^\d+(\.\d+)?$"),
+            F.timestamp_seconds(c.cast("double")),
+        ).otherwise(F.to_timestamp(c))
+
+    return raw.select(
+        "image_id",
+        parse("start_time").alias("start_ts"),
+        parse("end_time").alias("end_ts"),
+        "value",
+    ).filter(F.col("start_ts") <= F.col("end_ts"))
+
+
+def write_json_results(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (run_inference.py:84-97 analog)."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], sort_cols: list[str] | None = None
+) -> None:
+    """Iceberg-style layout on plain parquet: hive partition dirs +
+    within-file sort so downstream as-of scans get clustered, sorted
+    input without re-shuffling (the engine's write-side layout
+    contract, layout.partition_sorted at rest)."""
+    out = df
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_cols: list[str],
+    fraction: float,
+    seed: int = 42,
+    max_weight: float = 100.0,
+) -> DataFrame:
+    """Deterministic weighted sampling — the reference's weighted
+    training source (S2, feature_generation.py:43-61) without RNG
+    state: keep a row iff u(key, seed) < fraction * min(weight,
+    max_weight), where u is the md5-prefix hash of the key mapped to
+    [0,1).  Pure function of the row → identical samples at any
+    partitioning, resumable, and oracle-replayable.  max_weight caps
+    replication skew exactly like MAX_WEIGHT=100 (metadata.py:268-272).
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed)))
+    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    p = F.least(F.col(weight_col).cast("double"), F.lit(max_weight)) * fraction
+    return df.filter(u < p)

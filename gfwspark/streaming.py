@@ -1,0 +1,120 @@
+"""Structured Streaming mirror of the batch window operators (§2.10).
+
+The reference is batch-only (its "near-real-time" mode re-runs monthly
+batch windows, run_inference.py:50-73).  This engine is batch-first
+too, but the core operators have streaming twins so the same semantics
+run incrementally:
+
+- ``stream_sessionize``:   session_window(ts, gap) + watermark — the
+  streaming twin of sessionize.session_stats
+- ``stream_tumbling``:     window(ts, duration) + watermark — twin of
+  windows.tumbling_agg
+- ``stream_hamming_state``: applyInPandasWithState carrying the last
+  phash per entity across micro-batches — twin of the lag(phash)
+  hamming delta in features.with_derived_features
+
+Late data beyond the watermark is dropped (the batch engine has no
+late data; the watermark bound makes the streaming results converge to
+the batch results when the source is replayed with availableNow)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    entity: str = "image_id",
+    ts: str = "ts",
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+    value_col: str | None = None,
+) -> DataFrame:
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    if value_col:
+        aggs.append(F.avg(value_col).alias("avg_value"))
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.col(entity), F.session_window(ts, gap).alias("win"))
+        .agg(*aggs)
+        .select(
+            entity,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *[c for c in ("n_points", "avg_value") if value_col or c == "n_points"],
+        )
+    )
+
+
+def stream_tumbling(
+    stream: DataFrame,
+    value_col: str,
+    duration: str = "1 day",
+    entity: str | None = None,
+    ts: str = "ts",
+    watermark: str = "2 days",
+) -> DataFrame:
+    keys = [F.window(ts, duration).alias("win")]
+    if entity:
+        keys.insert(0, F.col(entity))
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            *([entity] if entity else []),
+            F.col("win.start").alias("win_start"),
+            "n", "min_value", "max_value",
+        )
+    )
+
+
+_HAM_OUT = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("phash_hamming", T.IntegerType()),
+    ]
+)
+_HAM_STATE = T.StructType([T.StructField("last_phash", T.LongType())])
+
+
+def _hamming_state_fn(key, pdfs, state: GroupState):
+    last = state.get[0] if state.exists else None
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        for _, r in pdf.iterrows():
+            ham = None if last is None else bin(int(r.phash) ^ int(last)).count("1")
+            rows.append((key[0], r.ts, int(r.phash), ham))
+            last = int(r.phash)
+    state.update((int(last),))
+    yield pd.DataFrame(rows, columns=["image_id", "ts", "phash", "phash_hamming"])
+
+
+def stream_hamming_state(stream: DataFrame) -> DataFrame:
+    """Stateful per-entity hamming delta across micro-batches.
+
+    Within a micro-batch rows are processed time-sorted; the last phash
+    persists in GroupState between batches.  Equivalent to the batch
+    lag(phash) hamming when events arrive entity-ordered (the engine's
+    layout contract)."""
+    return (
+        stream.groupBy("image_id")
+        .applyInPandasWithState(
+            _hamming_state_fn,
+            outputStructType=_HAM_OUT,
+            stateStructType=_HAM_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

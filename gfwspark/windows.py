@@ -266,3 +266,114 @@ def range_slice_join(
         (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)),
         "inner",
     )
+
+
+# ------------------------------------------------------------------
+# Backfill / forward-fill of missing values (north-rule "backfill"):
+# ffill carries the last non-null observation forward (backward-only
+# frame → no leakage); bfill looks *forward* and is therefore only
+# legal for label/target construction (documented leakage boundary).
+# ------------------------------------------------------------------
+
+def with_ffill(
+    df: DataFrame,
+    cols: list[str],
+    entity: str = "image_id",
+    ts: str = "ts",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}_ffill", F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def with_bfill(
+    df: DataFrame,
+    cols: list[str],
+    entity: str = "image_id",
+    ts: str = "ts",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}_bfill", F.first(c, ignorenulls=True).over(w))
+    return out
+
+
+# ------------------------------------------------------------------
+# W2: aligned windows with edge backfill (process_fixed_window_features,
+# feature_utilities.py:372-460): slice the series to [start_ts, end_ts],
+# head-pad by replicating the first row until the length is
+# window_size + k*shift (the reference pads with features[0] /
+# features[-1] replication and enforces (end-start-window)%shift==0),
+# then emit every window stepping by shift.  Zero points in range →
+# zero windows (fishing_feature_generation_test.py:58-82).
+# ------------------------------------------------------------------
+
+def aligned_windows(
+    df: DataFrame,
+    feature_cols: list[str],
+    window_size: int,
+    shift: int,
+    start_ts,
+    end_ts,
+    entity: str = "image_id",
+    ts: str = "ts",
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(entity, df.schema[entity].dataType),
+            T.StructField("win_idx", T.IntegerType()),
+            T.StructField("n_real_points", T.IntegerType()),
+            T.StructField("n_pad", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, kind="mergesort")
+        sel = pdf[(pdf[ts] >= start_ts) & (pdf[ts] <= end_ts)]
+        n = len(sel)
+        if n == 0:
+            return pd.DataFrame(
+                {c.name: pd.Series([], dtype=object) for c in out_schema}
+            )
+        mat = sel[feature_cols].to_numpy(dtype=np.float64)
+        # minimal head pad so len == window_size + k*shift, k >= 0
+        if n <= window_size:
+            pad = window_size - n
+        else:
+            pad = (-(n - window_size)) % shift
+        if pad:
+            mat = np.concatenate([np.repeat(mat[:1], pad, axis=0), mat], axis=0)
+        rows = []
+        for k, s in enumerate(range(0, len(mat) - window_size + 1, shift)):
+            rows.append(
+                {
+                    entity: sel[entity].iloc[0],
+                    "win_idx": k,
+                    "n_real_points": int(n),
+                    "n_pad": int(pad),
+                    "features": [list(r) for r in mat[s : s + window_size]],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return df.groupBy(entity).applyInPandas(kernel, schema=out_schema)

@@ -189,3 +189,42 @@ def test_zero_temporal_leakage(spark, img_df, ann_df, img_pdf):
     )
     b = trunc.select(*cols).toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_aligned_windows_match_oracle(img_df, img_pdf):
+    start = img_pdf["ts"].quantile(0.2)
+    end = img_pdf["ts"].quantile(0.8)
+    out = windows.aligned_windows(
+        img_df, ["phash", "w"], window_size=6, shift=2, start_ts=start, end_ts=end
+    ).toPandas()
+    for eid, grp in img_pdf.groupby("image_id"):
+        grp = grp.sort_values("ts")
+        sel = grp[(grp.ts >= start) & (grp.ts <= end)]
+        want = oracle.aligned_windows_np(
+            sel[["phash", "w"]].to_numpy(dtype=np.float64), 6, 2
+        )
+        got = out[out.image_id == eid].sort_values("win_idx")
+        assert len(got) == len(want), eid
+        for (_, row), w_mat in zip(got.iterrows(), want):
+            assert np.allclose(np.array([list(r) for r in row.features]), w_mat)
+        if len(sel) == 0:
+            assert len(got) == 0  # zero-window case
+
+
+def test_ffill_matches_oracle(spark, img_df, img_pdf):
+    import pyspark.sql.functions as F
+
+    # knock out some values deterministically, then forward-fill
+    holey = img_df.withColumn(
+        "v", F.when(F.col("w") % 3 == 0, F.lit(None).cast("double")).otherwise(F.col("w").cast("double"))
+    )
+    out = (
+        windows.with_ffill(holey, ["v"])
+        .select("image_id", "ts", "v", "v_ffill")
+        .toPandas()
+        .sort_values(["image_id", "ts"])
+    )
+    for eid, grp in out.groupby("image_id"):
+        want = oracle.ffill(grp["v"].to_numpy(dtype=np.float64))
+        got = grp["v_ffill"].to_numpy(dtype=np.float64)
+        assert np.allclose(got, want, equal_nan=True), eid

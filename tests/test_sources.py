@@ -1,0 +1,104 @@
+"""Sources/sinks (SURVEY §2.1 S6-S11): CSV metadata, id lists,
+interval CSVs (ISO + epoch timestamps), JSON sink, partitioned
+parquet layout, deterministic weighted sampling."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyspark.sql.functions as F
+
+from gfwspark import sources, tables
+
+
+def test_read_entity_info_drops_blank_labels(spark, tmp_path):
+    p = tmp_path / "info.csv"
+    p.write_text(
+        "image_id,label,length,split\n"
+        "img_000001,cargo|tanker,42.5,Training\n"
+        "img_000002,,10.0,Test\n"          # blank label → dropped (P7)
+        "img_000003,  ,11.0,Test\n"         # whitespace label → dropped
+        "img_000004,trawler,,Test\n"        # null length kept
+    )
+    df = sources.read_entity_info(spark, str(p))
+    rows = {r.image_id: r for r in df.collect()}
+    assert set(rows) == {"img_000001", "img_000004"}
+    assert rows["img_000001"].label == "cargo|tanker"
+    assert rows["img_000004"].length is None
+
+
+def test_read_id_list(spark, tmp_path):
+    p = tmp_path / "ids.txt"
+    p.write_text("img_000001\n  img_000002  \n\nimg_000003\n")
+    ids = sorted(r.image_id for r in sources.read_id_list(spark, str(p)).collect())
+    assert ids == ["img_000001", "img_000002", "img_000003"]
+
+
+def test_read_annotation_csv_both_timestamp_forms(spark, tmp_path):
+    p = tmp_path / "ann.csv"
+    p.write_text(
+        "image_id,start_time,end_time,value\n"
+        "img_000001,2024-01-01 00:00:00,2024-01-02 00:00:00,1.0\n"
+        "img_000002,1704067200,1704153600,0.5\n"   # same instants, epoch form
+        "img_000003,2024-01-02 00:00:00,2024-01-01 00:00:00,1.0\n"  # inverted → dropped
+    )
+    df = sources.read_annotation_csv(spark, str(p)).orderBy("image_id")
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0].start_ts == rows[1].start_ts  # ISO == epoch parse
+    assert rows[0].end_ts == rows[1].end_ts
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("img_1", 1.0), ("img_2", -1.0)], "image_id string, score double"
+    )
+    out = tmp_path / "json_out"
+    sources.write_json_results(df, str(out))
+    lines = []
+    for f in Path(out).glob("part-*.json"):
+        lines += [json.loads(line) for line in f.read_text().splitlines()]
+    assert sorted(d["image_id"] for d in lines) == ["img_1", "img_2"]
+
+
+def test_partitioned_write_layout(spark, tmp_path):
+    df = tables.synthesize_image_caption(spark, n_entities=6, rows_per_entity=5)
+    df = df.withColumn("fmt2", F.col("fmt"))
+    out = tmp_path / "part_out"
+    sources.write_partitioned(df, str(out), ["fmt2"], sort_cols=["image_id", "ts"])
+    dirs = {p.name for p in Path(out).iterdir() if p.is_dir()}
+    assert {"fmt2=png", "fmt2=qnt"} <= dirs
+    back = spark.read.parquet(str(out))
+    assert back.count() == df.count()
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    df = tables.synthesize_image_caption(spark, n_entities=30, rows_per_entity=20)
+    w = df.withColumn(
+        "weight", F.when(F.col("image_id") < "img_000015", 4.0).otherwise(1.0)
+    )
+    s1 = sources.weighted_sample(w, "weight", ["image_id", "ts"], fraction=0.1, seed=7)
+    s2 = sources.weighted_sample(
+        w.repartition(13), "weight", ["image_id", "ts"], fraction=0.1, seed=7
+    )
+    a = s1.select("image_id", "ts").toPandas().sort_values(["image_id", "ts"])
+    b = s2.select("image_id", "ts").toPandas().sort_values(["image_id", "ts"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))  # partition-invariant
+
+    # ~4x more of the heavy half (statistical, generous bounds)
+    heavy = s1.filter(F.col("image_id") < "img_000015").count()
+    light = s1.filter(F.col("image_id") >= "img_000015").count()
+    n_heavy = w.filter(F.col("image_id") < "img_000015").count()
+    n_light = w.filter(F.col("image_id") >= "img_000015").count()
+    rate_heavy = heavy / n_heavy
+    rate_light = max(light / n_light, 1e-9)
+    assert 2.0 < rate_heavy / rate_light < 8.0
+
+    # cap: weight 1000 behaves like max_weight=100 → p = min(1, …) ≤ 1
+    capped = sources.weighted_sample(
+        w.withColumn("weight", F.lit(1000.0)), "weight", ["image_id", "ts"],
+        fraction=0.001, seed=7,
+    )
+    uncapped_rate = capped.count() / w.count()
+    assert uncapped_rate < 0.25  # 0.001*100=0.1 expected, not 0.001*1000=1.0

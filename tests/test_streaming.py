@@ -1,0 +1,92 @@
+"""Streaming mirrors converge to batch results when replayed with
+availableNow (the reference's re-run-batch-windows model, §2.10)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from gfwspark import sessionize, streaming, tables
+
+
+@pytest.fixture(scope="module")
+def parquet_input(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "img")
+    df = tables.synthesize_image_caption(spark, n_entities=10, rows_per_entity=10)
+    df = df.select("image_id", F.col("ts").cast("timestamp").alias("ts"), "phash", "w")
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name == "ham" else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_stream_sessionize_matches_batch(spark, parquet_input):
+    batch_df = spark.read.parquet(parquet_input)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(parquet_input)
+
+    got = _run_stream(
+        spark,
+        streaming.stream_sessionize(stream_df, gap="1 hour", value_col="w"),
+        "sess",
+    ).toPandas()
+
+    want = (
+        sessionize.session_stats(batch_df, "w", gap_seconds=3600)
+        .toPandas()
+    )
+    # session_window end = last_ts + gap; compare on (entity, start, n)
+    a = got[["image_id", "session_start", "n_points"]].sort_values(
+        ["image_id", "session_start"]).reset_index(drop=True)
+    b = want.rename(columns={"session_start": "session_start", "n_points": "n_points"})[
+        ["image_id", "session_start", "n_points"]
+    ].sort_values(["image_id", "session_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_stream_tumbling_counts(spark, parquet_input):
+    batch_df = spark.read.parquet(parquet_input)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(parquet_input)
+    got = _run_stream(
+        spark,
+        streaming.stream_tumbling(stream_df, "w", duration="1 day", entity="image_id"),
+        "tumb",
+    ).toPandas()
+    assert got["n"].sum() == batch_df.count()
+
+
+def test_stream_hamming_state_matches_batch_lag(spark, parquet_input):
+    from pyspark.sql import Window
+
+    batch_df = spark.read.parquet(parquet_input)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(parquet_input)
+    got = _run_stream(
+        spark, streaming.stream_hamming_state(stream_df), "ham"
+    ).toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+
+    w = Window.partitionBy("image_id").orderBy("ts")
+    want = (
+        batch_df.withColumn(
+            "phash_hamming",
+            F.bit_count(F.col("phash").bitwiseXOR(F.lag("phash").over(w))).cast("int"),
+        )
+        .select("image_id", "ts", "phash", "phash_hamming")
+        .toPandas()
+        .sort_values(["image_id", "ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["image_id", "phash", "phash_hamming"]],
+        want[["image_id", "phash", "phash_hamming"]],
+        check_dtype=False,
+    )
