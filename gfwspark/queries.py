@@ -674,3 +674,4 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # register the training-data-ops catalog (dedup/text/similarity)
 from gfwspark import queries_ml  # noqa: E402,F401  isort:skip
 from gfwspark import queries_metrics  # noqa: E402,F401  isort:skip
+from gfwspark import queries_extra  # noqa: E402,F401  isort:skip

@@ -1,0 +1,200 @@
+"""Remaining operator-surface queries: backfill, weighted sampling,
+log/exp rescaling, argmax, multilabel explode, window kernels
+(rows-only where the output is array-valued or Python-hashed)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gfwspark import functions, sources, tables, windows
+from gfwspark.queries import register
+
+# ---------------------------------------------------------------------
+# ffill (north-rule backfill): carry last non-null forward
+# ---------------------------------------------------------------------
+
+_FFILL_ORACLE = """
+SELECT user_id, ts, event_id, v,
+  last_value(v IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+FROM (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_id % 4 = 0 THEN NULL ELSE value END AS v
+  FROM events
+)
+"""
+
+
+@register("ffill_backfill", _FFILL_ORACLE)
+def q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 4 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return windows.with_ffill(
+        ev, ["v"], entity="user_id", ts="ts", order_tiebreak="event_id"
+    )
+
+
+# ---------------------------------------------------------------------
+# Deterministic weighted sampling (S2 weighted source, skew cap)
+# ---------------------------------------------------------------------
+
+_WSAMPLE_ORACLE = """
+WITH w AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN user_id % 5 = 0 THEN 4.0 ELSE 1.0 END AS weight
+  FROM events
+)
+SELECT event_id, user_id, ts FROM w
+WHERE ('0x' || substr(md5(
+        cast(event_id AS varchar) || '|' || '7'), 1, 8))::BIGINT / 4294967296.0
+      < least(weight, 100.0) * 0.1
+"""
+
+
+@register("weighted_sample", _WSAMPLE_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("user_id") % 5 == 0, 4.0).otherwise(1.0).alias("weight"),
+    )
+    return sources.weighted_sample(
+        ev, "weight", ["event_id"], fraction=0.1, seed=7
+    ).select("event_id", "user_id", "ts")
+
+
+# ---------------------------------------------------------------------
+# F8: log/exp rescale (temperature softmax per group,
+# rescale_scores compute_vessel_metrics.py:750-755) — decimal-routed
+# ---------------------------------------------------------------------
+
+_RESCALE_ORACLE = """
+WITH e AS (
+  SELECT event_id, event_type, value,
+    cast(cast(exp(least(greatest(value, -5.0), 5.0)) AS double) AS decimal(18,6)) AS ev
+  FROM events
+),
+s AS (SELECT event_type, sum(ev) AS sev FROM e GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+  round(cast(e.ev AS double) / cast(s.sev AS double), 6) AS softmax
+FROM e JOIN s ON e.event_type = s.event_type
+"""
+
+
+@register("score_rescale_softmax", _RESCALE_ORACLE)
+def q_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.exp(functions.clip("value", -5.0, 5.0)).cast("decimal(18,6)").alias("ev"),
+    )
+    s = ev.groupBy("event_type").agg(F.sum("ev").alias("sev"))
+    return ev.join(s, "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("ev").cast("double") / F.col("sev").cast("double"), 6).alias(
+            "softmax"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# F11: argmax over array column
+# ---------------------------------------------------------------------
+
+_ARGMAX_ORACLE = """
+SELECT vec_id, cast(list_position(embedding, list_max(embedding)) AS int) AS argmax_dim,
+       round(cast(list_max(embedding) AS double), 6) AS max_val
+FROM embeddings
+"""
+
+
+@register("argmax_array", _ARGMAX_ORACLE)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        functions.argmax_array("embedding").alias("argmax_dim"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------
+# F6: multilabel split + explode on a '|'-joined synthetic label
+# ---------------------------------------------------------------------
+
+_MULTILABEL_ORACLE = """
+SELECT label, count(*) AS n FROM (
+  SELECT unnest(list_filter(
+    list_transform(string_split(concat(event_type, '|', props), '|'),
+                   x -> trim(x)),
+    x -> length(x) > 0)) AS label
+  FROM events WHERE props IS NOT NULL
+) GROUP BY label
+"""
+
+
+@register("multilabel_explode", _MULTILABEL_ORACLE)
+def q_multilabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull()
+    )
+    lab = ev.select(
+        F.explode(
+            functions.split_multilabel(F.concat_ws("|", "event_type", "props"))
+        ).alias("label")
+    )
+    return lab.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------
+# stable_hash (F1, blake2b pandas UDF) — no DuckDB blake2b: rows-only
+# ---------------------------------------------------------------------
+
+
+@register("stable_hash_ids", None)
+def q_stable_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", functions.stable_hash(F.col("c_name")).alias("id_hash")
+    )
+
+
+# ---------------------------------------------------------------------
+# W5 repeat-pad + W2 aligned windows: array-valued kernels, rows-only
+# ---------------------------------------------------------------------
+
+
+@register("repeat_pad_windows", None)
+def q_repeat_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = tables.image_caption_from_events(spark, sf_dir)
+    return windows.repeat_pad_windows(
+        img.withColumn("wd", F.col("w").cast("double")),
+        ["phash", "wd"],
+        window_size=16,
+    )
+
+
+@register("aligned_windows", None)
+def q_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = tables.image_caption_from_events(spark, sf_dir)
+    bounds = img.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    return windows.aligned_windows(
+        img.withColumn("wd", F.col("w").cast("double")),
+        ["phash", "wd"],
+        window_size=16,
+        shift=4,
+        start_ts=bounds["lo"],
+        end_ts=bounds["hi"],
+    )
