@@ -135,14 +135,19 @@ def _flagship_throughput(sf_dir: str, cpus: int) -> dict:
 
     n_rows = spark.read.parquet(path).count()
     job()  # warm
+    # best-of-N defends against background load on the shared sandbox
+    # host (observed 4 s vs 34 s for identical runs under load spikes)
     runs = []
-    for _ in range(2):
+    for _ in range(5):
+        if os.getloadavg()[0] > 40:
+            time.sleep(10)
         t0 = time.perf_counter()
         job()
         runs.append(time.perf_counter() - t0)
     best = min(runs)
     spark.stop()
     return {"cpus": cpus, "rows": n_rows, "sec": round(best, 3),
+            "runs": [round(r, 3) for r in runs],
             "images_per_sec": round(n_rows / best, 1)}
 
 

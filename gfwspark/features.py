@@ -27,37 +27,53 @@ from gfwspark.util import epoch_s
 from gfwspark import asof, sessionize
 
 
+def with_row_features(df: DataFrame) -> DataFrame:
+    """Per-row derived features — no window, no shuffle.  Applied
+    BEFORE the entity shuffle so wide payload columns (caption) reduce
+    to small ints map-side and never cross the network."""
+    return df.withColumn(
+        "aspect", F.col("w").cast("double") / F.col("h")
+    ).withColumn(
+        "caption_tokens",
+        F.when(F.length(F.trim("caption")) == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.trim("caption"), r"\s+"))
+        ),
+    )
+
+
+def with_lag_features(
+    df: DataFrame,
+    entity: str = "image_id",
+    ts: str = "ts",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Neighbor-based derived features (lag over the entity time order)."""
+    order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    w = Window.partitionBy(entity).orderBy(*order)
+    prev_phash = F.lag("phash").over(w)
+    prev_ts = F.lag(epoch_s(ts)).over(w)
+    return df.withColumn(
+        "phash_hamming",
+        F.when(prev_phash.isNull(), F.lit(None).cast("int")).otherwise(
+            F.bit_count(F.col("phash").bitwiseXOR(prev_phash))
+        ),
+    ).withColumn(
+        "log_dt",
+        F.when(prev_ts.isNull(), F.lit(None).cast("double")).otherwise(
+            F.log1p(epoch_s(ts) - prev_ts)
+        ),
+    )
+
+
 def with_derived_features(
     df: DataFrame,
     entity: str = "image_id",
     ts: str = "ts",
     order_tiebreak: str | None = None,
 ) -> DataFrame:
-    """Attach the per-image derived feature columns (native only)."""
-    order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
-    w = Window.partitionBy(entity).orderBy(*order)
-    prev_phash = F.lag("phash").over(w)
-    prev_ts = F.lag(epoch_s(ts)).over(w)
-    return (
-        df.withColumn(
-            "phash_hamming",
-            F.when(prev_phash.isNull(), F.lit(None).cast("int")).otherwise(
-                F.bit_count(F.col("phash").bitwiseXOR(prev_phash))
-            ),
-        )
-        .withColumn("aspect", F.col("w").cast("double") / F.col("h"))
-        .withColumn(
-            "caption_tokens",
-            F.when(F.length(F.trim("caption")) == 0, F.lit(0)).otherwise(
-                F.size(F.split(F.trim("caption"), r"\s+"))
-            ),
-        )
-        .withColumn(
-            "log_dt",
-            F.when(prev_ts.isNull(), F.lit(None).cast("double")).otherwise(
-                F.log1p(epoch_s(ts) - prev_ts)
-            ),
-        )
+    """Attach all per-image derived feature columns (native only)."""
+    return with_lag_features(
+        with_row_features(df), entity=entity, ts=ts, order_tiebreak=order_tiebreak
     )
 
 
@@ -73,12 +89,27 @@ def featurize(
     """Flagship pipeline: derived features + as-of label + backward
     sliding aggregates + session ids.
 
-    Plan shape (at any scale): scan → [shuffle on entity] → all window
-    stages reuse that partitioning (Catalyst collapses the Window nodes
-    over the same spec into one sort) → optional as-of union-merge
-    (same key, no extra shuffle after AQE) → project.
+    Plan shape (at any scale): the as-of union-merge runs FIRST — its
+    window node establishes hashpartitioning(entity), and every later
+    window stage (derived features, sliding aggs, session ids) reuses
+    that partitioning, so the fact table is shuffled exactly once.
+    (As-of last would union post-window facts with annotations, and a
+    union discards partitioning info → a second full-data exchange —
+    the difference between 1× and 2× the dataset through the network
+    at 10^12 rows.)
+
+    Output is the FEATURE table: payload columns (caption, bytes, fmt)
+    are consumed map-side into per-row features and dropped before the
+    shuffle — join them back post-hoc by (entity, ts) if needed.
     """
-    feat = with_derived_features(images, entity=entity, ts=ts, order_tiebreak=order_tiebreak)
+    feat = with_row_features(images).drop("caption", "bytes", "fmt")
+    if annotations is not None:
+        feat = asof.asof_join_union(
+            feat, annotations, entity=entity, ts=ts,
+            ann_ts="start_ts", value_cols=("label",),
+        )
+
+    feat = with_lag_features(feat, entity=entity, ts=ts, order_tiebreak=order_tiebreak)
 
     order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
     wslide = (
@@ -92,14 +123,7 @@ def featurize(
         .withColumn("n_in_window", F.count(F.lit(1)).over(wslide))
     )
 
-    feat = sessionize.with_session_id(
+    return sessionize.with_session_id(
         feat, entity=entity, ts=ts, gap_seconds=session_gap_s,
         order_tiebreak=order_tiebreak,
     )
-
-    if annotations is not None:
-        feat = asof.asof_join_union(
-            feat, annotations, entity=entity, ts=ts,
-            ann_ts="start_ts", value_cols=("label",),
-        )
-    return feat

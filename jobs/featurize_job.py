@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Cluster entrypoint: resumable featurization over an image table.
+
+    spark-submit --py-files engine.zip jobs/featurize_job.py \
+        --input <parquet/iceberg path> --annotations <path|-> \
+        --output <path> --buckets 64 --window-size 8 --session-gap 3600
+
+Each entity bucket commits parquet + a lineage manifest
+(checkpoint.run_resumable); re-running after a crash recomputes only
+missing buckets and yields bit-identical output."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--annotations", default="-")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--window-size", type=int, default=8)
+    ap.add_argument("--session-gap", type=int, default=3600)
+    args = ap.parse_args()
+
+    from gfwspark import checkpoint, features
+    from gfwspark.session import get_spark
+
+    spark = get_spark("gfwspark-featurize", master=None)
+    images = spark.read.parquet(args.input)
+    ann = None if args.annotations == "-" else spark.read.parquet(args.annotations)
+
+    def transform(bucket_df):
+        bucket_ann = ann
+        if bucket_ann is not None:
+            # restrict the annotation side to this bucket's entities
+            bucket_ann = bucket_ann.join(
+                bucket_df.select("image_id").distinct(), "image_id", "left_semi"
+            )
+        return features.featurize(
+            bucket_df,
+            bucket_ann,
+            window_size=args.window_size,
+            session_gap_s=args.session_gap,
+        )
+
+    summary = checkpoint.run_resumable(
+        images, transform, args.output, n_buckets=args.buckets
+    )
+    print(summary)
+
+
+if __name__ == "__main__":
+    main()

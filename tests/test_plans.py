@@ -1,0 +1,82 @@
+"""Physical-plan audits: the properties that make the engine scale
+(SURVEY §4) must hold in the executed plan, not just in intent."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+from gfwspark import queries, tables
+from tests.conftest import SF_MED
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_single_fact_shuffle(spark):
+    """The 10^12-row fact table crosses the network exactly once: one
+    exchange for the fact side, one for the (tiny) annotation side."""
+    df = queries.all_queries()["flagship_featurize"](spark, SF_MED)
+    assert _plan(df).count("Exchange") <= 2
+
+
+def test_window_stages_share_partitioning(spark):
+    """All window stages collapse onto the same hashpartitioning — no
+    Exchange between the as-of window, feature windows, and session
+    window."""
+    df = queries.all_queries()["flagship_featurize"](spark, SF_MED)
+    plan = _plan(df)
+    # every exchange is a source-side hashpartitioning on image-entity
+    # keys; none appears between Window operators
+    segments = plan.split("Exchange")
+    assert "Window" not in segments[0] or plan.count("Exchange") <= 2
+
+
+def test_column_pruning_reaches_scan(spark):
+    """lag_lead selects 4 columns — the parquet scan must read exactly
+    those (a scan reading all 6 events columns is wrong)."""
+    df = queries.all_queries()["lag_lead"](spark, SF_MED)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", _plan(df))
+    assert schemas, "no ReadSchema in plan"
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {"event_id", "ts", "user_id", "value"}
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    ev = tables.load_table(spark, SF_MED, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id")
+    plan = _plan(ev)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    df = queries.all_queries()["equi_join_broadcast"](spark, SF_MED)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_no_cartesian_products(spark):
+    """No accidental nested-loop joins in any oracle-checked query
+    (cross joins only against scalar/tiny broadcast frames)."""
+    for name, fn in queries.all_queries().items():
+        if name in ("ann_brute_topk",):  # brute-force baseline is an
+            continue  # intentional broadcast NL join (exact top-k)
+        df = fn(spark, SF_MED)
+        plan = _plan(df)
+        for bad in re.findall(r"CartesianProduct", plan):
+            raise AssertionError(f"{name}: CartesianProduct in plan")
+
+
+def test_whole_stage_codegen_covers_flagship(spark):
+    """The hot path stays JVM-side: the flagship plan contains codegen
+    stages and no Python row UDFs (BatchEvalPython)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # AQE hides WSCG stars
+    try:
+        df = queries.all_queries()["flagship_featurize"](spark, SF_MED)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "*(" in plan  # whole-stage-codegen spans present
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
