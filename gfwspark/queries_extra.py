@@ -198,3 +198,103 @@ def q_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_ts=bounds["lo"],
         end_ts=bounds["hi"],
     )
+
+
+# ---------------------------------------------------------------------
+# W3: fixed-duration backward time window (rangeBetween)
+# ---------------------------------------------------------------------
+
+_TIME_RANGE_ORACLE = """
+SELECT user_id, ts, event_id,
+  count(value) OVER w AS v_t3600_cnt,
+  min(value) OVER w AS v_t3600_min,
+  max(value) OVER w AS v_t3600_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("time_range_window", _TIME_RANGE_ORACLE)
+def q_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return windows.with_time_range_agg(
+        ev, "value", duration_s=3600, entity="user_id", ts="ts", prefix="v_t3600"
+    ).drop("value")
+
+
+# ---------------------------------------------------------------------
+# A9: log-scaled weighted mean (AveragingLengthsAcrossTime.py:79-87):
+# scale = 10*ln(active+1) + ln(pos+1); mean = sum(x*scale)/sum(scale)
+# ---------------------------------------------------------------------
+
+_LOGW_MEAN_ORACLE = """
+WITH pc AS (
+  SELECT o_custkey, count(*) AS n_orders,
+    cast(sum(cast(o_totalprice AS decimal(14,2))) AS decimal(14,2)) AS spend
+  FROM orders GROUP BY o_custkey
+),
+s AS (
+  SELECT o_custkey, spend, n_orders,
+    cast(cast(10 * ln(n_orders + 1) AS double) AS decimal(8,6)) AS scale
+  FROM pc
+)
+SELECT round(cast(sum(cast(spend * scale AS decimal(30,8))) AS double)
+       / cast(sum(scale) AS double), 4) AS weighted_mean_spend,
+       count(*) AS n_entities
+FROM s
+"""
+
+
+@register("log_weighted_mean", _LOGW_MEAN_ORACLE)
+def q_log_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load_table(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("decimal(14,2)").alias("spend"),
+    )
+    s = pc.select(
+        "spend",
+        (10 * F.log(F.col("n_orders") + 1)).cast("double").cast("decimal(8,6)").alias("scale"),
+    )
+    return s.agg(
+        F.round(
+            F.sum((F.col("spend") * F.col("scale")).cast("decimal(30,8)")).cast("double")
+            / F.sum("scale").cast("double"),
+            4,
+        ).alias("weighted_mean_spend"),
+        F.count(F.lit(1)).alias("n_entities"),
+    )
+
+
+# ---------------------------------------------------------------------
+# P2: finiteness predicate (np.isfinite guard, feature_utilities.py:144)
+# ---------------------------------------------------------------------
+
+_FINITE_ORACLE = """
+WITH v AS (
+  SELECT event_id,
+    CASE WHEN event_id % 7 = 0 THEN 'NaN'::DOUBLE ELSE value END AS val
+  FROM events
+)
+SELECT
+  count(CASE WHEN NOT isnan(val) THEN 1 END) AS n_finite,
+  count(CASE WHEN isnan(val) THEN 1 END) AS n_dropped
+FROM v
+"""
+
+
+@register("finiteness_filter", _FINITE_ORACLE)
+def q_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(float("nan")))
+        .otherwise(F.col("value"))
+        .alias("val"),
+    )
+    return ev.agg(
+        F.count(F.when(~F.isnan("val"), 1)).alias("n_finite"),
+        F.count(F.when(F.isnan("val"), 1)).alias("n_dropped"),
+    )

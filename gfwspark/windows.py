@@ -377,3 +377,84 @@ def aligned_windows(
         return pd.DataFrame(rows)
 
     return df.groupBy(entity).applyInPandas(kernel, schema=out_schema)
+
+
+# ------------------------------------------------------------------
+# W3: fixed-duration (time-range) backward windows
+# (extract_n_random_fixed_times, feature_utilities.py:246-294 — the
+# deterministic per-point form: every point aggregates its trailing
+# `duration_s` of history).  rangeBetween over epoch-microseconds.
+# ------------------------------------------------------------------
+
+def with_time_range_agg(
+    df: DataFrame,
+    agg_col: str,
+    duration_s: int,
+    entity: str = "image_id",
+    ts: str = "ts",
+    prefix: str | None = None,
+) -> DataFrame:
+    from gfwspark.util import epoch_us
+
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(epoch_us(ts))
+        .rangeBetween(-duration_s * 1_000_000, 0)
+    )
+    p = prefix or f"{agg_col}_t{duration_s}"
+    return (
+        df.withColumn(f"{p}_cnt", F.count(agg_col).over(w))
+        .withColumn(f"{p}_min", F.min(agg_col).over(w))
+        .withColumn(f"{p}_max", F.max(agg_col).over(w))
+    )
+
+
+# ------------------------------------------------------------------
+# W6: repeat-pad + seeded roll augmentation (np_pad_repeat_slice_2,
+# feature_utilities.py:73-102): mark the gap, tile, roll by a seeded
+# offset that is a pure function of (entity, seed) — reproducible,
+# unlike the reference's unseeded RandomState.
+# ------------------------------------------------------------------
+
+def repeat_pad_roll_windows(
+    df: DataFrame,
+    feature_cols: list[str],
+    window_size: int,
+    seed: int = 42,
+    entity: str = "image_id",
+    ts: str = "ts",
+) -> DataFrame:
+    import hashlib
+
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(entity, df.schema[entity].dataType),
+            T.StructField("n_src_points", T.IntegerType()),
+            T.StructField("roll", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, kind="mergesort")
+        eid = pdf[entity].iloc[0]
+        mat = pdf[feature_cols].to_numpy(dtype=np.float64)[-window_size:]
+        n = len(mat)
+        if n < window_size:
+            reps = int(np.ceil(window_size / n))
+            mat = np.concatenate([mat] * reps, axis=0)[:window_size]
+        h = hashlib.blake2b(f"{eid}:{seed}".encode(), digest_size=4)
+        roll = int.from_bytes(h.digest(), "big") % window_size
+        mat = np.roll(mat, roll, axis=0)
+        return pd.DataFrame(
+            {
+                entity: [eid],
+                "n_src_points": [int(len(pdf))],
+                "roll": [roll],
+                "features": [[list(r) for r in mat]],
+            }
+        )
+
+    return df.groupBy(entity).applyInPandas(kernel, schema=out_schema)
