@@ -36,10 +36,15 @@ HEADLINE = [
     "asof_join_cogroup",
     "sessionize",
     "sliding_windows",
+    "time_range_window",
     "tumbling_daily",
+    "month_grid_windows",
     "entity_minmax_agg",
     "topk_per_group",
     "dedup_exact",
+    "minhash_signatures",
+    "ngram_jaccard_dups",
+    "ann_brute_topk",
     "doc_stats",
 ]
 

@@ -127,3 +127,43 @@ def featurize(
         feat, entity=entity, ts=ts, gap_seconds=session_gap_s,
         order_tiebreak=order_tiebreak,
     )
+
+
+def featurize_full(
+    images: DataFrame,
+    annotations: DataFrame | None = None,
+    entity: str = "image_id",
+    ts: str = "ts",
+    window_sizes: tuple[int, ...] = (4, 16, 64),
+    session_gap_s: int = 3600,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Full-width featurization: the 14-feature analog of the reference
+    production config (--feature_dimensions 14,
+    train/deploy_cloudml.yaml:7) — per-row features, lag deltas, and
+    min/avg/max/stddev sliding aggregates at three window geometries
+    (vessel-char 12800 / fishing 1024 / scored 256 analogs), all over
+    the single entity shuffle."""
+    feat = with_row_features(images).drop("caption", "bytes", "fmt")
+    if annotations is not None:
+        feat = asof.asof_join_union(
+            feat, annotations, entity=entity, ts=ts,
+            ann_ts="start_ts", value_cols=("label",),
+        )
+    feat = with_lag_features(feat, entity=entity, ts=ts, order_tiebreak=order_tiebreak)
+
+    order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    for ws in window_sizes:
+        w = Window.partitionBy(entity).orderBy(*order).rowsBetween(-(ws - 1), 0)
+        feat = (
+            feat.withColumn(f"ham_w{ws}_avg", F.avg("phash_hamming").over(w))
+            .withColumn(f"ham_w{ws}_max", F.max("phash_hamming").over(w))
+            .withColumn(f"ham_w{ws}_std", F.stddev("phash_hamming").over(w))
+            .withColumn(f"tok_w{ws}_avg", F.avg("caption_tokens").over(w))
+            .withColumn(f"aspect_w{ws}_min", F.min("aspect").over(w))
+            .withColumn(f"dt_w{ws}_avg", F.avg("log_dt").over(w))
+        )
+    return sessionize.with_session_id(
+        feat, entity=entity, ts=ts, gap_seconds=session_gap_s,
+        order_tiebreak=order_tiebreak,
+    )

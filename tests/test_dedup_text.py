@@ -1,0 +1,127 @@
+"""Semantic tests for dedup/text/similarity on planted fixtures —
+the oracle-parity tests prove cross-engine equality; these prove the
+operators actually FIND what they should."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from gfwspark import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")          # 1-token edit → high J
+    far = "completely different content about spark engines and parquet files"
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),         # exact dup of 1
+        (3, near, "en"),         # near dup of 1
+        (4, far, "en"),
+        (5, "der hund und die katze sind nicht auf der strasse", "de"),
+        (6, "", "en"),           # empty edge case
+        (7, "   ", "en"),        # whitespace edge case
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_ngram_jaccard_finds_planted_dups(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    found = {(r.doc_a, r.doc_b) for _, r in pairs.iterrows()}
+    assert (1, 2) in found            # exact pair: J = 1.0
+    assert (1, 3) in found            # near pair above threshold
+    assert not any(4 in p for p in found)
+    exact = pairs[(pairs.doc_a == 1) & (pairs.doc_b == 2)]
+    assert float(exact.jaccard.iloc[0]) == 1.0
+
+
+def test_minhash_lsh_recalls_exact_dup(docs):
+    out = dedup.minhash_near_dups(docs, threshold=0.5).toPandas()
+    found = {(r.doc_a, r.doc_b) for _, r in out.iterrows()}
+    assert (1, 2) in found  # identical docs always share all bands
+
+
+def test_minhash_signature_identical_for_identical_docs(docs):
+    sig = dedup.minhash_signatures(dedup.shingles(docs)).toPandas().set_index("doc_id")
+    assert (sig.loc[1] == sig.loc[2]).all()
+    assert (sig.loc[1] != sig.loc[4]).any()
+
+
+def test_simhash_close_for_near_dups(docs):
+    sh = dedup.simhash(docs.filter(F.length(F.trim("text")) > 0), bits=32).toPandas()
+    sh = sh.set_index("doc_id")["simhash"]
+    d_near = bin(int(sh[1]) ^ int(sh[3])).count("1")
+    d_far = bin(int(sh[1]) ^ int(sh[4])).count("1")
+    assert sh[1] == sh[2]
+    assert d_near < d_far
+
+
+def test_lang_id_on_planted_langs(docs):
+    out = text.lang_id(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "pred_lang"] == "en"
+    assert out.loc[5, "pred_lang"] == "de"
+    assert out.loc[6, "pred_lang"] == "und"  # empty → unknown
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = text.with_fingerprint(df).toPandas().set_index("doc_id")["fingerprint"]
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]  # same bag of tokens, different order
+
+
+def test_brute_topk_finds_planted_neighbor(spark):
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(20, 8).astype("float32")
+    vecs[7] = vecs[3] * 2.0  # cosine(3,7) = 1.0 exactly (scaled copy)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = corpus.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    top = similarity.brute_force_topk(corpus, q, k=1).toPandas()
+    assert top.iloc[0].vec_id == 7
+    assert top.iloc[0].cosine == 1.0
+
+
+def test_lsh_topk_same_bucket_for_scaled_copy(spark):
+    rng = np.random.RandomState(1)
+    vecs = rng.randn(30, 8).astype("float32")
+    vecs[9] = vecs[4] * 3.0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = corpus.filter(F.col("vec_id") == 4).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    top = similarity.lsh_topk(corpus, q, k=3).toPandas()
+    assert 9 in set(top.vec_id)  # scaled copy shares every hyperplane sign
+
+
+def test_embedding_near_dups_finds_pair(spark):
+    rng = np.random.RandomState(2)
+    vecs = rng.randn(15, 8).astype("float32")
+    vecs[11] = vecs[2] * 1.5
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(15)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    dups = similarity.embedding_near_dups(corpus, threshold=0.99).toPandas()
+    assert (2, 11) in {(r.id_a, r.id_b) for _, r in dups.iterrows()}
+
+
+def test_quality_score_ranks_sane(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "A well formed sentence with reasonable length and words."),
+            (2, "!!!???...,,,;;;:::!!!"),
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    q = text.with_quality_score(df).toPandas().set_index("doc_id")["quality"]
+    assert q[1] > q[2]
+    assert q[1] > q[3]

@@ -36,11 +36,13 @@ def _compare(a: pd.DataFrame, b: pd.DataFrame, name: str) -> None:
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            # BIT-exact: the driver's value-hash has no tolerance, so
+            # neither do we (floats are engineered deterministic — see
+            # the float policy in gfwspark/queries.py)
             av = pd.to_numeric(av, errors="coerce")
             bv = pd.to_numeric(bv, errors="coerce")
             both_nan = av.isna() & bv.isna()
-            close = (av - bv).abs() <= 1e-9 + 1e-9 * bv.abs()
-            bad = ~(both_nan | close.fillna(False))
+            bad = ~(both_nan | (av == bv))
         else:
             bad = ~(av.eq(bv) | (av.isna() & bv.isna()))
         n_bad = int(bad.sum())
