@@ -124,7 +124,41 @@ def run_resumable(
         if fail_after_bucket is not None and b >= fail_after_bucket:
             raise RuntimeError(f"injected failure after bucket {b}")
 
+    _commit_snapshot(output_path, fp, n_buckets)
     return {"completed": completed, "skipped": skipped, "total": n_buckets}
+
+
+def _commit_snapshot(output_path: str, fingerprint: str, n_buckets: int) -> None:
+    """Table-level snapshot (the Iceberg-snapshot stand-in): an
+    append-only log of commits, each listing every bucket manifest it
+    covers with rows + lineage.  A reader that pins a snapshot id sees
+    a consistent set of bucket files."""
+    mdir = _manifest_dir(output_path)
+    buckets = []
+    for b in range(n_buckets):
+        p = mdir / f"bucket_{b}.json"
+        m = json.loads(p.read_text())
+        buckets.append({"bucket": b, "rows": m["rows"], "output": m["output"],
+                        "wall_s": m["wall_s"]})
+    log_path = mdir / "snapshots.json"
+    log = json.loads(log_path.read_text()) if log_path.exists() else []
+    log.append(
+        {
+            "snapshot_id": len(log) + 1,
+            "input_fingerprint": fingerprint,
+            "engine_version": gfwspark.__version__,
+            "total_rows": sum(b["rows"] for b in buckets),
+            "buckets": buckets,
+        }
+    )
+    log_path.write_text(json.dumps(log, indent=1))
+
+
+def read_snapshot(output_path: str, snapshot_id: int | None = None) -> dict:
+    log = json.loads((_manifest_dir(output_path) / "snapshots.json").read_text())
+    if snapshot_id is None:
+        return log[-1]
+    return next(s for s in log if s["snapshot_id"] == snapshot_id)
 
 
 def read_result(spark, output_path: str) -> DataFrame:

@@ -59,3 +59,19 @@ def test_changed_input_invalidates_checkpoints(spark, tmp_path):
     checkpoint.run_resumable(df1, _transform, out, n_buckets=2)
     summary = checkpoint.run_resumable(df2, _transform, out, n_buckets=2)
     assert summary["skipped"] == []  # fingerprint changed → full recompute
+
+
+def test_snapshot_log_append_only(spark, tmp_path):
+    df = tables.synthesize_image_caption(spark, n_entities=8, rows_per_entity=6)
+    out = str(tmp_path / "snap")
+    checkpoint.run_resumable(df, _transform, out, n_buckets=2)
+    s1 = checkpoint.read_snapshot(out)
+    assert s1["snapshot_id"] == 1
+    assert s1["total_rows"] == sum(b["rows"] for b in s1["buckets"])
+    assert len(s1["buckets"]) == 2
+
+    # second commit (same input → buckets skipped, snapshot still appended)
+    checkpoint.run_resumable(df, _transform, out, n_buckets=2)
+    s2 = checkpoint.read_snapshot(out)
+    assert s2["snapshot_id"] == 2
+    assert checkpoint.read_snapshot(out, 1)["snapshot_id"] == 1
