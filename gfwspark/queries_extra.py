@@ -298,3 +298,36 @@ def q_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~F.isnan("val"), 1)).alias("n_finite"),
         F.count(F.when(F.isnan("val"), 1)).alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------
+# Skew path through the correctness gate: two-phase salted aggregation
+# must be indistinguishable from the direct aggregate (the oracle IS
+# the plain GROUP BY — salting is a physical rewrite, not a semantic
+# one).  Salt = md5-prefix hash of the row key (deterministic at any
+# partitioning), 16 sub-keys per entity.
+# ---------------------------------------------------------------------
+
+_SALTED_AGG_ORACLE = """
+SELECT user_id, count(*) AS n_events,
+  cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+@register("salted_two_phase_agg", _SALTED_AGG_ORACLE)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfwspark.text import token_hash32
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "salt", (token_hash32(F.col("event_id").cast("string")) % 16).cast("int")
+    )
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("ps"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("ps").cast("double").alias("sum_value"),
+    )
