@@ -331,3 +331,76 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.sum("ps").cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------
+# Exact interpolated percentiles (A-layer extension; Spark percentile()
+# and DuckDB quantile_cont() share the a+(b-a)*f formula; round(6)
+# guards the interpolation arithmetic).
+# ---------------------------------------------------------------------
+
+_PERCENTILE_ORACLE = """
+SELECT event_type,
+  round(quantile_cont(value, 0.25), 6) AS p25,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.75), 6) AS p75,
+  count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+@register("percentiles", _PERCENTILE_ORACLE)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Per-entity z-score normalization (A11 applied per entity — the
+# backward-only variant uses expanding decimal moments so features stay
+# leakage-free; here the batch-global per-entity form used at training
+# time, run_training.py:26-40).
+# ---------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH m AS (
+  SELECT user_id, count(*) AS n,
+    cast(sum(cast(value AS decimal(18,6))) AS double) AS s,
+    cast(sum(cast(value AS decimal(18,6)) * cast(value AS decimal(18,6))) AS double) AS ss
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+  CASE WHEN m.n < 2 OR (m.ss - m.s * m.s / m.n) <= 0 THEN 0.0
+       ELSE round((e.value - m.s / m.n)
+                  / sqrt((m.ss - m.s * m.s / m.n) / (m.n - 1)), 6)
+  END AS value_z
+FROM events e JOIN m ON e.user_id = m.user_id
+"""
+
+
+@register("per_entity_zscore", _ZSCORE_ORACLE)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    m = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return ev.join(m, "user_id").select(
+        "event_id",
+        "user_id",
+        F.when(
+            (F.col("n") < 2)
+            | ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) <= 0),
+            F.lit(0.0),
+        )
+        .otherwise(F.round((F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var), 6))
+        .alias("value_z"),
+    )
