@@ -11,7 +11,8 @@ Reference semantics being reproduced (SURVEY.md §2.3 J1–J3):
   end-inclusive per the reference's searchsorted sides
   (fishing_feature_generation.py:59-60); -1.0 (UNCLASSIFIED) elsewhere.
 
-Two physical strategies, same results:
+Three physical strategies, same results (all gate-checked against the
+same DuckDB ASOF oracle):
 
 1. ``asof_join_union`` — pure DataFrame plan: union facts+annotations,
    one window `last(value, ignorenulls=True)` over
@@ -22,6 +23,10 @@ Two physical strategies, same results:
    searchsorted.  Used when the payload is wide (many annotation
    columns) or semantics exceed what the window trick expresses
    (e.g. tolerance).
+3. ``asof_join_broadcast`` — map-side searchsorted against a broadcast
+   per-entity annotation index: ZERO shuffle of the fact table.  The
+   pick when the annotation dim is small, which at 10^12 fact rows is
+   the difference between moving nothing and moving everything.
 """
 
 from __future__ import annotations
@@ -191,4 +196,75 @@ def interval_label_join(
             .otherwise(F.lit(default))
             .alias("label"),
         )
+    )
+
+
+def asof_join_broadcast(
+    facts: DataFrame,
+    annotations: DataFrame,
+    entity: str = "image_id",
+    ts: str = "ts",
+    ann_ts: str = "start_ts",
+    value_col: str = "label",
+) -> DataFrame:
+    """Backward as-of with a BROADCAST annotation side — zero shuffle
+    of the fact table.
+
+    When the annotation dim is small (the common production shape: a
+    label/config table versioned over time), shuffling 10^12 fact rows
+    to meet it is absurd.  Here the annotations are collected into a
+    per-entity sorted numpy index, broadcast to every executor, and the
+    facts stream through ``mapInPandas`` doing the reference's exact
+    searchsorted lookup (fishing_feature_generation.py:59-60) batch by
+    batch — any fact partitioning works, nothing moves.
+
+    Physical analog of J5 (broadcast dict lookup, metadata.py:142-161)
+    fused with J1's binary search.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    ann_rows = (
+        annotations.select(entity, ann_ts, value_col)
+        .toPandas()
+        .sort_values([entity, ann_ts], kind="mergesort")
+    )
+    index: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for eid, grp in ann_rows.groupby(entity):
+        index[eid] = (
+            grp[ann_ts].astype("datetime64[us]").astype("int64").to_numpy(),
+            grp[value_col].to_numpy(),
+        )
+    bc = facts.sparkSession.sparkContext.broadcast(index)
+
+    out_schema = T.StructType(
+        list(facts.schema.fields)
+        + [T.StructField(f"asof_{value_col}", annotations.schema[value_col].dataType)]
+    )
+
+    def lookup(batches):
+        idx = bc.value
+        for pdf in batches:
+            ts_us = pdf[ts].astype("datetime64[us]").astype("int64").to_numpy()
+            out = np.full(len(pdf), np.nan)
+            for eid, rows in pdf.groupby(entity).groups.items():
+                hit = idx.get(eid)
+                if hit is None:
+                    continue
+                ann_us, vals = hit
+                pos = np.searchsorted(ann_us, ts_us[rows], side="right") - 1
+                ok = pos >= 0
+                res = np.full(len(rows), np.nan)
+                res[ok] = vals[np.clip(pos, 0, None)][ok]
+                out[rows] = res
+            res_pdf = pdf.copy()
+            res_pdf[f"asof_{value_col}"] = out
+            yield res_pdf
+
+    out = facts.mapInPandas(lookup, schema=out_schema)
+    # no-match → SQL NULL, not NaN (parity with the join strategies)
+    c = f"asof_{value_col}"
+    return out.withColumn(
+        c, F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c))
     )

@@ -404,3 +404,20 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var), 6))
         .alias("value_z"),
     )
+
+
+# ---------------------------------------------------------------------
+# Third as-of strategy: broadcast map-side (zero fact shuffle) — must
+# agree with the same DuckDB ASOF oracle as the other two strategies.
+# ---------------------------------------------------------------------
+
+from gfwspark import asof as _asof
+from gfwspark.queries import _ASOF_ORACLE, _ann_dedup
+
+
+@register("asof_join_broadcast", _ASOF_ORACLE)
+def q_asof_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = tables.image_caption_from_events(spark, sf_dir).select(
+        "image_id", "ts", "event_id"
+    )
+    return _asof.asof_join_broadcast(img, _ann_dedup(spark, sf_dir))

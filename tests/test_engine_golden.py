@@ -228,3 +228,17 @@ def test_ffill_matches_oracle(spark, img_df, img_pdf):
         want = oracle.ffill(grp["v"].to_numpy(dtype=np.float64))
         got = grp["v_ffill"].to_numpy(dtype=np.float64)
         assert np.allclose(got, want, equal_nan=True), eid
+
+
+def test_asof_broadcast_equals_union(img_df, ann_df):
+    ann1 = ann_df.groupBy("image_id", "start_ts").agg(F.max("value").alias("value"))
+    small = img_df.select("image_id", "ts", "phash")
+    a = (
+        asof.asof_join_union(small, ann1, value_cols=("value",))
+        .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    b = (
+        asof.asof_join_broadcast(small, ann1, value_col="value")
+        .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
