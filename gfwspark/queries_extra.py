@@ -421,3 +421,35 @@ def q_asof_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "ts", "event_id"
     )
     return _asof.asof_join_broadcast(img, _ann_dedup(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
+# Expanding backward-only z-score (leakage-free online normalization)
+# ---------------------------------------------------------------------
+
+_ZEXP_ORACLE = """
+WITH m AS (
+  SELECT event_id, user_id, ts, value,
+    count(value) OVER w AS n,
+    cast(sum(cast(value AS decimal(18,6))) OVER w AS double) AS s,
+    cast(sum(cast(value AS decimal(18,6)) * cast(value AS decimal(18,6))) OVER w AS double) AS ss
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, value,
+  CASE WHEN n < 2 OR (ss - s * s / n) <= 0 THEN 0.0
+       ELSE round((value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6)
+  END AS value_zexp
+FROM m
+"""
+
+
+@register("expanding_zscore", _ZEXP_ORACLE)
+def q_expanding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return windows.with_expanding_zscore(
+        ev, "value", entity="user_id", ts="ts", order_tiebreak="event_id"
+    )

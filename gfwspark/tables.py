@@ -141,11 +141,12 @@ def _make_entity_rows(eidx: int, n_rows: int, seed: int, with_bytes: bool) -> pd
     ts = np.int64(1_700_000_000) + np.int64(eidx) * 1_000_000 + np.cumsum(gaps)
 
     phash = np.zeros(n_rows, dtype=np.int64)
-    ph = np.int64(_stable_seed("phash", eidx, seed)) * np.int64(2654435761) % np.int64(2**63 - 1)
+    # python-int arithmetic: no silent int64 wraparound semantics
+    ph = (_stable_seed("phash", eidx, seed) * 2654435761) % (2**62)
     flips_per = rng.randint(0, 6, size=n_rows)
     for i in range(n_rows):
         for _ in range(int(flips_per[i])):
-            ph ^= np.int64(1) << int(rng.randint(0, 63))
+            ph ^= 1 << int(rng.randint(0, 62))
         phash[i] = ph
 
     w = rng.choice([32, 48, 64, 96, 128], size=n_rows).astype(np.int32)

@@ -458,3 +458,35 @@ def repeat_pad_roll_windows(
         )
 
     return df.groupBy(entity).applyInPandas(kernel, schema=out_schema)
+
+
+# ------------------------------------------------------------------
+# Expanding (backward-only) z-score: normalization whose statistics at
+# time t use ONLY points <= t — the leakage-free online variant of the
+# reference's global normalization constants (run_training.py:26-40,
+# vessel_characterization.py:31-40).  Decimal expanding moments keep it
+# deterministic and oracle-exact.
+# ------------------------------------------------------------------
+
+def with_expanding_zscore(
+    df: DataFrame,
+    value_col: str,
+    entity: str = "image_id",
+    ts: str = "ts",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = F.col(value_col).cast("decimal(18,6)")
+    n = F.count(value_col).over(w)
+    s = F.sum(dec).over(w).cast("double")
+    ss = F.sum(dec * dec).over(w).cast("double")
+    var = (ss - s * s / n) / (n - 1)
+    z = F.when((n < 2) | ((ss - s * s / n) <= 0), F.lit(0.0)).otherwise(
+        F.round((F.col(value_col) - s / n) / F.sqrt(var), 6)
+    )
+    return df.withColumn(f"{value_col}_zexp", z)

@@ -1,0 +1,60 @@
+"""The north-rule launch path: spark-submit --py-files engine.zip runs
+the resumable featurization job end-to-end (fresh JVM, engine imported
+from the zip, buckets + manifests + snapshot written)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_spark_submit_py_files_job(spark, tmp_path):
+    from gfwspark import tables
+
+    img_path = str(tmp_path / "img.parquet")
+    ann_path = str(tmp_path / "ann.parquet")
+    out_path = str(tmp_path / "out")
+    tables.synthesize_image_caption(spark, n_entities=8, rows_per_entity=6).drop(
+        "bytes"
+    ).write.mode("overwrite").parquet(img_path)
+    (
+        tables.synthesize_annotations(spark, n_entities=8)
+        .groupBy("image_id", "start_ts")
+        .agg({"value": "max"})
+        .withColumnRenamed("max(value)", "label")
+        .write.mode("overwrite")
+        .parquet(ann_path)
+    )
+
+    zip_path = tmp_path / "engine.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for p in (REPO / "gfwspark").rglob("*.py"):
+            zf.write(p, p.relative_to(REPO))
+
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--py-files", str(zip_path),
+            "--conf", "spark.sql.session.timeZone=UTC",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.memory=4g",
+            str(REPO / "jobs" / "featurize_job.py"),
+            "--input", img_path, "--annotations", ann_path,
+            "--output", out_path, "--buckets", "2",
+        ],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    manifests = sorted((Path(out_path) / "_manifests").glob("bucket_*.json"))
+    assert len(manifests) == 2
+    snap = json.loads((Path(out_path) / "_manifests" / "snapshots.json").read_text())
+    assert snap[-1]["total_rows"] > 0
+
+    result = spark.read.parquet(f"{out_path}/part=*")
+    assert result.count() == snap[-1]["total_rows"]
+    assert "asof_label" in result.columns
