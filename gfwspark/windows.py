@@ -490,3 +490,86 @@ def with_expanding_zscore(
         F.round((F.col(value_col) - s / n) / F.sqrt(var), 6)
     )
     return df.withColumn(f"{value_col}_zexp", z)
+
+
+# ------------------------------------------------------------------
+# Hot-entity parallelism: chunked backward time-range aggregates.
+#
+# A Window.partitionBy(entity) puts an entity's WHOLE series in one
+# task — the real 100 TB failure mode for a hot key with 10^7+ rows.
+# For backward fixed-DURATION windows the fix is map-side time
+# chunking: chunk = floor(ts / chunk_duration); every row whose ts
+# falls within `duration` of a chunk's end is ALSO replicated into the
+# next chunk as carry context.  groupBy(entity, chunk) then computes
+# exact backward aggregates for its own rows using the carry — no
+# global per-entity sort, task size bounded by chunk occupancy, and a
+# hot entity spreads over ceil(span/chunk_duration) parallel tasks.
+# (layout.salted covers mergeable per-entity AGGREGATES; this covers
+# per-POINT window features, which salting cannot.)
+# ------------------------------------------------------------------
+
+def chunked_time_range_agg(
+    df: DataFrame,
+    agg_col: str,
+    duration_s: int,
+    chunk_s: int,
+    entity: str = "image_id",
+    ts: str = "ts",
+    prefix: str | None = None,
+) -> DataFrame:
+    import pyspark.sql.types as T
+
+    from gfwspark.util import epoch_us
+
+    assert chunk_s >= duration_s, "chunk must cover the window duration"
+    p = prefix or f"{agg_col}_t{duration_s}"
+    dur_us = duration_s * 1_000_000
+    chunk_us = chunk_s * 1_000_000
+
+    us = epoch_us(ts)
+    own = df.withColumn("_chunk", F.floor(us / chunk_us).cast("long")).withColumn(
+        "_carry", F.lit(False)
+    )
+    # rows near a chunk's end also serve the next chunk's lookback
+    carry = (
+        df.withColumn("_us", us)
+        .filter(
+            F.col("_us") >= (F.floor(F.col("_us") / chunk_us) + 1) * chunk_us - dur_us
+        )
+        .withColumn("_chunk", (F.floor(F.col("_us") / chunk_us) + 1).cast("long"))
+        .withColumn("_carry", F.lit(True))
+        .drop("_us")
+    )
+    both = own.unionByName(carry)
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [
+            T.StructField(f"{p}_cnt", T.LongType()),
+            T.StructField(f"{p}_min", df.schema[agg_col].dataType),
+            T.StructField(f"{p}_max", df.schema[agg_col].dataType),
+        ]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, kind="mergesort")
+        ts_us = pdf[ts].astype("datetime64[us]").astype("int64").to_numpy()
+        vals = pdf[agg_col].to_numpy()
+        own_mask = ~pdf["_carry"].to_numpy()
+        lo = np.searchsorted(ts_us, ts_us - dur_us, side="left")
+        hi = np.arange(len(pdf)) + 1
+        cnt = np.empty(len(pdf), dtype=np.int64)
+        vmin = np.empty(len(pdf), dtype=vals.dtype)
+        vmax = np.empty(len(pdf), dtype=vals.dtype)
+        for i in range(len(pdf)):
+            w = vals[lo[i] : hi[i]]
+            w = w[~pd.isna(w)]
+            cnt[i] = len(w)
+            vmin[i] = w.min() if len(w) else np.nan
+            vmax[i] = w.max() if len(w) else np.nan
+        out = pdf[in_cols].copy()
+        out[f"{p}_cnt"], out[f"{p}_min"], out[f"{p}_max"] = cnt, vmin, vmax
+        return out[own_mask]
+
+    return both.groupBy(entity, "_chunk").applyInPandas(kernel, schema=out_schema)

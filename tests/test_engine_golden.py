@@ -242,3 +242,35 @@ def test_asof_broadcast_equals_union(img_df, ann_df):
         .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_chunked_time_range_agg_equals_window(spark, img_df):
+    """Hot-entity chunked kernel == plain rangeBetween window (exact),
+    while spreading each entity over multiple parallel chunks."""
+    plain = (
+        windows.with_time_range_agg(
+            img_df.select("image_id", "ts", "phash"), "phash",
+            duration_s=1800, prefix="p",
+        )
+        .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    chunked = (
+        windows.chunked_time_range_agg(
+            img_df.select("image_id", "ts", "phash"), "phash",
+            duration_s=1800, chunk_s=3600, prefix="p",
+        )
+        .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        plain[["image_id", "ts", "p_cnt", "p_min", "p_max"]],
+        chunked[["image_id", "ts", "p_cnt", "p_min", "p_max"]],
+        check_dtype=False,
+    )
+    # the hot entity really is split across chunks (parallel tasks)
+    from gfwspark.util import epoch_us
+    n_chunks = (
+        img_df.filter(F.col("image_id") == "img_000000")
+        .select(F.floor(epoch_us("ts") / (3600 * 1_000_000)).alias("c"))
+        .distinct().count()
+    )
+    assert n_chunks > 1
