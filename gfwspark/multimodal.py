@@ -182,3 +182,110 @@ def with_decoded_stats(df):
             yield out
 
     return df.mapInPandas(decode_batch, schema=out_schema)
+
+
+# ------------------------------------------------------- resize ----
+
+def resize_images(df, out_w: int, out_h: int, fmt_out: str = "png"):
+    """Decode → nearest-neighbor resize (pure numpy index gather, no
+    image lib) → re-encode.  mapInPandas over Arrow batches; the resize
+    itself is exact and deterministic, so round-trip tests are real."""
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            f
+            for f in df.schema.fields
+            if f.name not in ("bytes", "w", "h", "fmt")
+        ]
+        + [
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+        ]
+    )
+    keep = [f.name for f in df.schema.fields if f.name not in ("bytes", "w", "h", "fmt")]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes = []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(data), fmt)
+                h, w, _ = px.shape
+                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                out_bytes.append(encode_image(px[yi][:, xi], fmt_out))
+            out = pdf[keep].copy()
+            out["bytes"] = out_bytes
+            out["w"], out["h"], out["fmt"] = out_w, out_h, fmt_out
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+# ------------------------------------------- video / audio stubs ----
+#
+# No av/audio codecs exist in this container.  The Spark-side plumbing
+# (schema, Arrow batching, frame-index arithmetic) is real and tested
+# against the deterministic fake codec; the true decoders raise
+# NotImplementedError exactly where ffmpeg/soundfile would plug in.
+
+_FAKE_VIDEO_MAGIC = b"FVID"
+
+
+def encode_fake_video(frames: np.ndarray) -> bytes:
+    """Deterministic fake container: (n, h, w, 3) uint8 → bytes."""
+    n, h, w, _ = frames.shape
+    return _FAKE_VIDEO_MAGIC + struct.pack(">III", n, w, h) + zlib.compress(
+        frames.tobytes(), 1
+    )
+
+
+def decode_video(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "fvid":
+        assert data[:4] == _FAKE_VIDEO_MAGIC
+        n, w, h = struct.unpack(">III", data[4:16])
+        raw = zlib.decompress(data[16:])
+        return np.frombuffer(raw, dtype=np.uint8).reshape(n, h, w, 3)
+    raise NotImplementedError(
+        f"video codec {fmt!r}: real decode needs ffmpeg/PyAV (not in container)"
+    )
+
+
+def sample_video_frames(df, every_n: int = 2, video_col: str = "video", fmt_col: str = "vfmt"):
+    """Frame sampling: decode → take frames [0, n, 2n, …] → per-frame
+    mean luminance.  Output one row per sampled frame (UDTF-style 1→N
+    explode through mapInPandas)."""
+    import pyspark.sql.types as T
+
+    keep = [f for f in df.schema.fields if f.name not in (video_col, fmt_col)]
+    out_schema = T.StructType(
+        keep
+        + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_lum", T.DoubleType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                frames = decode_video(bytes(r[video_col]), r[fmt_col])
+                for i in range(0, len(frames), every_n):
+                    rows.append(
+                        {**{k: r[k] for k in keep_names},
+                         "frame_idx": i,
+                         "frame_lum": float(frames[i].mean())}
+                    )
+            yield pd.DataFrame(rows, columns=keep_names + ["frame_idx", "frame_lum"])
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def decode_audio(data: bytes, fmt: str) -> np.ndarray:
+    raise NotImplementedError(
+        f"audio codec {fmt!r}: real decode needs soundfile/librosa (not in container)"
+    )
