@@ -268,3 +268,100 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dups(emb, threshold=0.9)
+
+
+# ---------------------------------------------------------------------
+# Full-oracle versions of the LSH pipelines.  Everything is
+# deterministic (fixed minhash constants; hyperplane component (h,d) =
+# sin(1 + h*131 + d*7), computable identically in SQL), so even the
+# "approximate" ops are value-checked end-to-end.
+# ---------------------------------------------------------------------
+
+_N_BANDS, _ROWS_PER_BAND = 4, 3
+_band_rows = [
+    (b, ", ".join(f"mh_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)))
+    for b in range(_N_BANDS)
+]
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, concat_ws('_', {cols}) AS band_key FROM sig"
+    for b, cols in _band_rows
+)
+
+_MINHASH_LSH_ORACLE = f"""
+WITH sh AS ({_D_SHINGLES}),
+sig AS (SELECT doc_id, {_mh_exprs} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh_hash = sa.sh_hash
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+  round(cast(i.n_inter AS double) / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(cast(i.n_inter AS double) / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.5
+"""
+
+# upgrade minhash_lsh_dups from rows-only to full oracle
+register("minhash_lsh_dups", _MINHASH_LSH_ORACLE)(q_minhash_lsh)
+
+
+def _d_bucket(emb: str, n_planes: int = 8) -> str:
+    terms = []
+    for h in range(n_planes):
+        dot = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(generate_series(1, len({emb})), "
+            f"i -> {emb}[i]::DOUBLE * sin(1.0 + {h} * 131 + (i - 1) * 7))), "
+            f"(acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << h} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_LSH_TOPK_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, embedding, {_d_bucket('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM c WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, x.vec_id,
+    round({_d_dot('x.embedding', 'q.q_emb')}
+          / ({_d_norm('x.embedding')} * {_d_norm('q.q_emb')}), 6) AS cosine
+  FROM c x JOIN q ON x.bucket = q.bucket AND x.vec_id <> q.q_id
+),
+r AS (
+  SELECT q_id, vec_id, cosine,
+    cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS int) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+register("ann_lsh_topk", _LSH_TOPK_ORACLE)(q_lsh_topk)
+
+
+_EMBED_NEAR_DUP_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, embedding, {_d_bucket('embedding')} AS bucket FROM embeddings
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+  round({_d_dot('a.embedding', 'b.embedding')}
+        / ({_d_norm('a.embedding')} * {_d_norm('b.embedding')}), 6) AS cosine
+FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_d_dot('a.embedding', 'b.embedding')}
+        / ({_d_norm('a.embedding')} * {_d_norm('b.embedding')}), 6) >= 0.9
+"""
+
+register("embedding_near_dups", _EMBED_NEAR_DUP_ORACLE)(q_embed_near_dups)
