@@ -8,9 +8,10 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
    "queries": {name: sec}, "sf": ...}
 
 --scaling mode (north rule): run the flagship featurization job at two
-parallelism levels (local[8] vs local[32]) in separate subprocesses
-(clean JVMs), report images/sec at both plus scaling efficiency
-throughput(4N) / (4 * throughput(N)), and write BENCH/BASELINE.md.
+N->4N core pairs (2->8 headline, 8->32 supplementary) in separate
+clean-JVM subprocesses, report images/sec at each level plus scaling
+efficiency throughput(4N) / (4 * throughput(N)), and write
+BENCH/BASELINE.md.
 
 Queries are materialized with the noop sink (full execution, no driver
 collect) — the honest analog of writing to a table.
