@@ -176,9 +176,9 @@ WITH pred AS ({_langid_cte()}),
 classes AS (SELECT DISTINCT lang AS cls FROM pred),
 stats AS (
   SELECT c.cls,
-    sum(CASE WHEN p.lang = c.cls AND p.pred_lang = c.cls THEN 1 ELSE 0 END) AS tp,
-    sum(CASE WHEN p.lang <> c.cls AND p.pred_lang = c.cls THEN 1 ELSE 0 END) AS fp,
-    sum(CASE WHEN p.lang = c.cls AND p.pred_lang <> c.cls THEN 1 ELSE 0 END) AS fn
+    cast(sum(CASE WHEN p.lang = c.cls AND p.pred_lang = c.cls THEN 1 ELSE 0 END) AS bigint) AS tp,
+    cast(sum(CASE WHEN p.lang <> c.cls AND p.pred_lang = c.cls THEN 1 ELSE 0 END) AS bigint) AS fp,
+    cast(sum(CASE WHEN p.lang = c.cls AND p.pred_lang <> c.cls THEN 1 ELSE 0 END) AS bigint) AS fn
   FROM pred p CROSS JOIN classes c GROUP BY c.cls
 )
 SELECT cls, tp, fp, fn,
@@ -317,7 +317,7 @@ def q_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MULTIHOT_ORACLE = """
 SELECT o_custkey,
-  sum(DISTINCT cast(1 AS bigint) << cast(substr(o_orderpriority, 1, 1) AS int)) AS prio_multihot,
+  cast(sum(DISTINCT cast(1 AS bigint) << cast(substr(o_orderpriority, 1, 1) AS int)) AS bigint) AS prio_multihot,
   count(DISTINCT o_orderpriority) AS n_classes
 FROM orders GROUP BY o_custkey
 """

@@ -508,6 +508,38 @@ def with_expanding_zscore(
 # per-POINT window features, which salting cannot.)
 # ------------------------------------------------------------------
 
+def _monotone_window_agg(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray, ufunc) -> np.ndarray:
+    """Exact `ufunc` over variable windows vals[lo_i:hi_i) where lo and hi
+    are both non-decreasing and every window is non-empty.
+
+    Batched two-stack sliding-window sweep: each flip builds a suffix
+    aggregate over one segment with a single ufunc.accumulate and serves
+    every query whose lo falls inside it; the tail past the segment is a
+    prefix aggregate.  Successive S and P segments are disjoint, so total
+    accumulate work is <= 2n and the Python loop runs once per FLIP, not
+    per row — O(n) with no float round-trip (exact for int64 hashes)."""
+    n = len(lo)
+    out = np.empty(n, dtype=vals.dtype)
+    i = 0
+    while i < n:
+        a, b = int(lo[i]), int(hi[i])
+        j = int(np.searchsorted(lo, b, side="left"))  # block: queries with lo < b
+        S = ufunc.accumulate(vals[a:b][::-1])[::-1]  # S[k] = agg vals[a+k : b]
+        left = S[lo[i:j] - a]
+        end = int(hi[j - 1])
+        if end > b:
+            P = ufunc.accumulate(vals[b:end])  # P[k] = agg vals[b : b+k+1]
+            hb = hi[i:j]
+            right = hb > b
+            res = left.copy()
+            res[right] = ufunc(left[right], P[hb[right] - b - 1])
+            out[i:j] = res
+        else:
+            out[i:j] = left
+        i = j
+    return out
+
+
 def chunked_time_range_agg(
     df: DataFrame,
     agg_col: str,
@@ -557,17 +589,30 @@ def chunked_time_range_agg(
         ts_us = pdf[ts].astype("datetime64[us]").astype("int64").to_numpy()
         vals = pdf[agg_col].to_numpy()
         own_mask = ~pdf["_carry"].to_numpy()
+        # RANGE BETWEEN includes ALL equal-ts peers (even those sorting
+        # after the current row), so every row in an equal-ts run shares
+        # the window [lo, hi): lo = first idx with ts >= t - dur, hi =
+        # first idx with ts > t.
         lo = np.searchsorted(ts_us, ts_us - dur_us, side="left")
-        hi = np.arange(len(pdf)) + 1
-        cnt = np.empty(len(pdf), dtype=np.int64)
-        vmin = np.empty(len(pdf), dtype=vals.dtype)
-        vmax = np.empty(len(pdf), dtype=vals.dtype)
-        for i in range(len(pdf)):
-            w = vals[lo[i] : hi[i]]
-            w = w[~pd.isna(w)]
-            cnt[i] = len(w)
-            vmin[i] = w.min() if len(w) else np.nan
-            vmax[i] = w.max() if len(w) else np.nan
+        hi = np.searchsorted(ts_us, ts_us, side="right")
+        if vals.dtype.kind == "f":
+            # pandas' Cython offset-rolling: O(n), NaN-aware, exact for
+            # floats (values pass through untouched).  It computes
+            # per-POSITION results (window ends at that row); indexing
+            # at hi-1 (the last equal-ts peer) yields the per-RUN result.
+            s = pd.Series(vals, index=pd.DatetimeIndex(ts_us.astype("datetime64[us]")))
+            r = s.rolling(pd.Timedelta(microseconds=dur_us), closed="both", min_periods=1)
+            last = hi - 1
+            cnt = r.count().to_numpy()[last].astype(np.int64)
+            vmin = r.min().to_numpy()[last]
+            vmax = r.max().to_numpy()[last]
+        else:
+            # int64 (e.g. 64-bit perceptual hashes) would lose exactness
+            # through rolling's float64 path — use the exact vectorized
+            # two-stack sweep instead (no NaN possible in an int column).
+            cnt = (hi - lo).astype(np.int64)
+            vmin = _monotone_window_agg(vals, lo, hi, np.minimum)
+            vmax = _monotone_window_agg(vals, lo, hi, np.maximum)
         out = pdf[in_cols].copy()
         out[f"{p}_cnt"], out[f"{p}_min"], out[f"{p}_max"] = cnt, vmin, vmax
         return out[own_mask]

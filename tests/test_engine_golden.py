@@ -274,3 +274,40 @@ def test_chunked_time_range_agg_equals_window(spark, img_df):
         .distinct().count()
     )
     assert n_chunks > 1
+
+
+def test_chunked_time_range_agg_duplicate_ts(spark):
+    """RANGE BETWEEN includes ALL equal-ts peers — even ones that sort
+    after the current row.  The chunked kernel must agree on a fixture
+    with duplicate timestamps (including a run straddling nothing but
+    sharing one instant)."""
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # entity A: three rows at the SAME instant with different values,
+    # plus neighbors inside/outside the 1800 s lookback
+    for off_s, val in [(0, 5.0), (1000, 1.0), (1000, 9.0), (1000, 4.0),
+                       (2000, 2.0), (4000, 7.0), (4000, 3.0)]:
+        rows.append(("A", base + pd.Timedelta(seconds=off_s), val))
+    # entity B: duplicate instants right at a chunk boundary (3600 s)
+    for off_s, val in [(3599, 1.0), (3600, 8.0), (3600, 2.0), (5000, 6.0)]:
+        rows.append(("B", base + pd.Timedelta(seconds=off_s), val))
+    pdf = pd.DataFrame(rows, columns=["image_id", "ts", "phash"])
+    df = spark.createDataFrame(pdf)
+
+    def norm(out):
+        return (
+            out.toPandas()
+            .sort_values(["image_id", "ts", "phash"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    plain = norm(windows.with_time_range_agg(df, "phash", duration_s=1800, prefix="p"))
+    chunked = norm(
+        windows.chunked_time_range_agg(df, "phash", duration_s=1800, chunk_s=3600, prefix="p")
+    )
+    cols = ["image_id", "ts", "phash", "p_cnt", "p_min", "p_max"]
+    pd.testing.assert_frame_equal(plain[cols], chunked[cols], check_dtype=False)
+    # equal-ts peers after the row ARE included: every row at +1000 s
+    # sees all three peer values {1, 9, 4} plus the 0 s row
+    at_1000 = plain[(plain.image_id == "A") & (plain.ts == base + pd.Timedelta(seconds=1000))]
+    assert (at_1000.p_cnt == 4).all() and (at_1000.p_max == 9.0).all()

@@ -35,6 +35,13 @@ def _compare(a: pd.DataFrame, b: pd.DataFrame, name: str) -> None:
     a, b = _normalize(a), _normalize(b)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Driver's value-hash stringifies cells, so int 123 vs float 123.0
+        # (e.g. DuckDB HUGEINT -> float64 via .df()) is a mismatch even when
+        # numerically equal. Mirror that strictness here.
+        assert (pd.api.types.is_float_dtype(av) == pd.api.types.is_float_dtype(bv)), (
+            f"{name}: column {c} dtype-kind mismatch spark={av.dtype} duck={bv.dtype} "
+            f"(HUGEINT in the oracle? cast sums to BIGINT/DOUBLE)"
+        )
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             # BIT-exact: the driver's value-hash has no tolerance, so
             # neither do we (floats are engineered deterministic — see
