@@ -152,16 +152,24 @@ def interval_label_join(
 ) -> DataFrame:
     """Dense point-in-interval labelling (reference J1).
 
-    Each fact row gets the value of the latest-starting interval that
-    covers its ts (start <= ts <= end, both inclusive per
-    fishing_feature_generation.py:59-60); `default` (-1.0, the
-    reference's UNCLASSIFIED fill) elsewhere.
+    Each fact row gets the value of the LATEST-STARTING interval with
+    start <= ts, IF that interval still covers ts (start <= ts <= end,
+    both inclusive per fishing_feature_generation.py:59-60); `default`
+    (-1.0, the reference's UNCLASSIFIED fill) otherwise.
+
+    Overlapping-interval caveat: this diverges from the reference's
+    sequential overwrite (add_labels, fishing_feature_generation.py:
+    52-68) when intervals NEST — a point past a later-starting
+    interval's end but still inside an earlier interval gets `default`
+    here, whereas the reference keeps the earlier interval's label
+    (it only overwrites [start_ndx:end_ndx]).  For non-overlapping or
+    merely abutting intervals (the reference's actual fishing-range
+    data) the two agree.  For reference-exact resolution on nested
+    intervals use ``interval_label_join_covering``.
 
     Implementation: backward as-of on interval starts carrying
     (start,end,value), then a coverage filter — two window columns, one
-    shuffle, no join.  Overlapping intervals resolve to the
-    latest-starting one, matching the reference's sequential overwrite
-    of the dense label array.
+    shuffle, no join.
     """
     fact_cols = facts.columns
     a = intervals.select(
@@ -199,6 +207,77 @@ def interval_label_join(
     )
 
 
+def interval_label_join_covering(
+    facts: DataFrame,
+    intervals: DataFrame,
+    entity: str = "image_id",
+    ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    value: str = "value",
+    default: float = -1.0,
+) -> DataFrame:
+    """Reference-EXACT point-in-interval labelling for overlapping /
+    nested intervals: each point takes the value of the latest-STARTING
+    interval that actually COVERS it — equivalent to the reference's
+    sequential overwrite of the dense label array in start order
+    (add_labels, fishing_feature_generation.py:52-68), which only
+    writes inside [start_ndx:end_ndx] so an enclosing earlier interval
+    survives past a nested one's end.
+
+    Implementation — interval flattening on the DIM side, zero fact
+    shuffle: the interval table (an annotation dim, small by contract)
+    is decomposed into DISJOINT segments at every start / end+1
+    boundary (epoch-microsecond integers); each segment carries the
+    label of the latest-starting interval covering it (ties on start
+    resolve to the larger value, deterministically).  Facts then take a
+    single broadcast hash join on entity with the range predicate as
+    the join residual — at most ONE matching segment per fact row, so
+    no argmax, no groupBy, and the fact table never moves.
+    """
+    from gfwspark.util import epoch_us
+
+    fact_cols = facts.columns
+    iv = intervals.select(
+        F.col(entity).alias("_e"),
+        epoch_us(start).alias("_start_us"),
+        epoch_us(end).alias("_end_us"),
+        F.col(value).alias("_val"),
+    )
+    bounds = (
+        iv.select("_e", F.col("_start_us").alias("_b"))
+        .unionByName(iv.select("_e", (F.col("_end_us") + 1).alias("_b")))
+        .distinct()
+    )
+    w = Window.partitionBy("_e").orderBy("_b")
+    seg = (
+        bounds.withColumn("_b_next", F.lead("_b").over(w))
+        .filter(F.col("_b_next").isNotNull())
+    )
+    segments = (
+        seg.alias("s")
+        .join(
+            iv.alias("i"),
+            (F.col("s._e") == F.col("i._e"))
+            & (F.col("i._start_us") <= F.col("s._b"))
+            & (F.col("i._end_us") >= F.col("s._b")),
+        )
+        .groupBy(F.col("s._e").alias("_e"), "_b", "_b_next")
+        .agg(F.max_by("_val", F.struct("_start_us", "_val")).alias("_val"))
+    )
+    ts_us = epoch_us(ts)
+    out = facts.join(
+        F.broadcast(segments),
+        (F.col(entity) == F.col("_e"))
+        & (ts_us >= F.col("_b"))
+        & (ts_us < F.col("_b_next")),
+        "left",
+    )
+    return out.select(
+        *fact_cols, F.coalesce(F.col("_val"), F.lit(default)).alias("label")
+    )
+
+
 def asof_join_broadcast(
     facts: DataFrame,
     annotations: DataFrame,
@@ -206,6 +285,7 @@ def asof_join_broadcast(
     ts: str = "ts",
     ann_ts: str = "start_ts",
     value_col: str = "label",
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Backward as-of with a BROADCAST annotation side — zero shuffle
     of the fact table.
@@ -218,23 +298,38 @@ def asof_join_broadcast(
     searchsorted lookup (fishing_feature_generation.py:59-60) batch by
     batch — any fact partitioning works, nothing moves.
 
+    The driver-side collect is guarded: more than `max_broadcast_rows`
+    annotation rows raises ValueError (use asof_join_union /
+    asof_join_cogroup for large annotation sides) instead of silently
+    OOMing the driver.  No-match rows get SQL NULL; values round-trip
+    in the annotation column's own dtype (ints/strings/bools stay
+    exact — nothing is funneled through float64).
+
     Physical analog of J5 (broadcast dict lookup, metadata.py:142-161)
     fused with J1's binary search.
     """
     import numpy as np
-    import pandas as pd
     import pyspark.sql.types as T
 
     ann_rows = (
         annotations.select(entity, ann_ts, value_col)
+        .limit(max_broadcast_rows + 1)
         .toPandas()
         .sort_values([entity, ann_ts], kind="mergesort")
     )
+    if len(ann_rows) > max_broadcast_rows:
+        raise ValueError(
+            f"asof_join_broadcast: annotation side exceeds "
+            f"max_broadcast_rows={max_broadcast_rows}; use asof_join_union "
+            f"or asof_join_cogroup for large annotation tables"
+        )
     index: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for eid, grp in ann_rows.groupby(entity):
         index[eid] = (
             grp[ann_ts].astype("datetime64[us]").astype("int64").to_numpy(),
-            grp[value_col].to_numpy(),
+            # object dtype: preserves the annotation dtype exactly
+            # (int64 > 2^53, strings, bools) and admits None
+            grp[value_col].to_numpy(dtype=object),
         )
     bc = facts.sparkSession.sparkContext.broadcast(index)
 
@@ -247,7 +342,7 @@ def asof_join_broadcast(
         idx = bc.value
         for pdf in batches:
             ts_us = pdf[ts].astype("datetime64[us]").astype("int64").to_numpy()
-            out = np.full(len(pdf), np.nan)
+            out = np.full(len(pdf), None, dtype=object)
             for eid, rows in pdf.groupby(entity).groups.items():
                 hit = idx.get(eid)
                 if hit is None:
@@ -255,16 +350,11 @@ def asof_join_broadcast(
                 ann_us, vals = hit
                 pos = np.searchsorted(ann_us, ts_us[rows], side="right") - 1
                 ok = pos >= 0
-                res = np.full(len(rows), np.nan)
+                res = np.full(len(rows), None, dtype=object)
                 res[ok] = vals[np.clip(pos, 0, None)][ok]
                 out[rows] = res
             res_pdf = pdf.copy()
             res_pdf[f"asof_{value_col}"] = out
             yield res_pdf
 
-    out = facts.mapInPandas(lookup, schema=out_schema)
-    # no-match → SQL NULL, not NaN (parity with the join strategies)
-    c = f"asof_{value_col}"
-    return out.withColumn(
-        c, F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c))
-    )
+    return facts.mapInPandas(lookup, schema=out_schema)

@@ -39,14 +39,16 @@ def bucket_of(entity_col: str, n_buckets: int):
     return (F.crc32(F.col(entity_col).cast("string")) % n_buckets).cast("int")
 
 
-def input_fingerprint(df: DataFrame, entity: str, ts: str) -> str:
+def input_fingerprint(df: DataFrame, entity: str, ts: str, n_buckets: int = 0) -> str:
     """Cheap order-insensitive fingerprint of the input: row count +
-    xor-ish sum of row hashes.  Used to invalidate stale checkpoints."""
+    xor-ish sum of row hashes, PLUS the bucket layout — changing
+    n_buckets must invalidate old manifests (a bucket id means nothing
+    across layouts)."""
     agg = df.select(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.crc32(F.concat_ws("|", F.col(entity), F.col(ts).cast("string")))).alias("h"),
     ).first()
-    return f"n={agg['n']},h={agg['h']}"
+    return f"n={agg['n']},h={agg['h']},b={n_buckets}"
 
 
 def _manifest_dir(output_path: str) -> Path:
@@ -89,10 +91,11 @@ def run_resumable(
     unit of redo after a crash, exactly like the reference re-runs only
     missing vessel files (run_inference.py:44-48 skips by path).
     """
-    fp = input_fingerprint(df, entity, ts)
+    fp = input_fingerprint(df, entity, ts, n_buckets)
     done = completed_buckets(output_path, fp)
     mdir = _manifest_dir(output_path)
     mdir.mkdir(parents=True, exist_ok=True)
+    spark = df.sparkSession
 
     bucketed = df.withColumn("_bucket", bucket_of(entity, n_buckets))
     skipped, completed = sorted(done), []
@@ -103,7 +106,11 @@ def run_resumable(
         part = transform(bucketed.filter(F.col("_bucket") == b).drop("_bucket"))
         out_dir = f"{output_path}/part={b}"
         part.write.mode("overwrite").parquet(out_dir)
-        stats = part.agg(
+        # lineage stats come from the parquet just WRITTEN (one cheap
+        # re-read of this bucket's files), not from re-executing the
+        # transform — the manifest always describes the bytes on disk,
+        # even for a nondeterministic transform, and the job runs 1x.
+        stats = spark.read.parquet(out_dir).agg(
             F.count(F.lit(1)).alias("rows"),
             F.min(ts).alias("min_ts"),
             F.max(ts).alias("max_ts"),
@@ -161,5 +168,9 @@ def read_snapshot(output_path: str, snapshot_id: int | None = None) -> dict:
     return next(s for s in log if s["snapshot_id"] == snapshot_id)
 
 
-def read_result(spark, output_path: str) -> DataFrame:
-    return spark.read.parquet(f"{output_path}/part=*")
+def read_result(spark, output_path: str, snapshot_id: int | None = None) -> DataFrame:
+    """Read exactly the bucket dirs the (latest or pinned) snapshot
+    covers — a leftover part=* dir from a previous bucket layout is
+    never mixed in (snapshot isolation, the Iceberg read contract)."""
+    snap = read_snapshot(output_path, snapshot_id)
+    return spark.read.parquet(*[b["output"] for b in snap["buckets"]])

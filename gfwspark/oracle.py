@@ -65,6 +65,28 @@ def dense_interval_labels(
     return out
 
 
+def sequential_overwrite_labels(
+    ts: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    values: np.ndarray,
+    default: float = -1.0,
+) -> np.ndarray:
+    """REFERENCE-exact dense labelling (add_labels,
+    fishing_feature_generation.py:52-68): intervals sorted by start are
+    written sequentially into the dense array, each only inside
+    [start, end] — so an enclosing earlier interval keeps its label
+    past a nested later one's end.  Equals 'latest-starting interval
+    that COVERS the point'.  Equal-start ties resolve to the larger
+    value (the engine's deterministic tiebreak; the reference's is
+    input-order-dependent)."""
+    order = np.lexsort((values, starts))
+    out = np.full(len(ts), default, dtype=np.float64)
+    for s, e, v in zip(starts[order], ends[order], values[order]):
+        out[(ts >= s) & (ts <= e)] = v
+    return out
+
+
 def asof_backward(
     ts: np.ndarray, ann_ts: np.ndarray, ann_val: np.ndarray
 ) -> np.ndarray:
@@ -116,6 +138,76 @@ def aligned_windows_np(
         mat[s : s + window_size]
         for s in range(0, len(mat) - window_size + 1, shift)
     ]
+
+
+def _md5_draw(entity, idx: int, seed: int) -> int:
+    """32-bit uniform draw shared with the engine and the DuckDB oracle
+    (sampling._md5_draw): int of the first 8 hex chars of
+    md5(f'{entity}:{idx}:{seed}')."""
+    import hashlib
+
+    return int(hashlib.md5(f"{entity}:{idx}:{seed}".encode()).hexdigest()[:8], 16)
+
+
+def range_anchored_starts(
+    ts: np.ndarray,
+    ranges: list[tuple[float, float]],
+    n: int,
+    output_length: int,
+    entity,
+    seed: int,
+) -> list[int]:
+    """Candidate-start semantics of extract_n_random_fixed_points
+    (reference feature_utilities.py:153-206) with the engine's seeded
+    deterministic draw over the SORTED candidate list.
+
+    Returns the n chosen 0-based start indices, or [] when the series
+    is shorter than output_length or no window overlaps any range."""
+    L = output_length
+    if len(ts) < L:
+        return []
+    cand: set[int] = set()
+    for start, end in ranges:
+        s_ndx = int(np.searchsorted(ts, start, side="left"))
+        e_ndx = int(np.searchsorted(ts, end, side="right"))
+        lo = max(0, s_ndx - L + 1)
+        hi = min(len(ts) - L + 1, e_ndx)
+        cand.update(range(lo, hi))
+    if not cand:
+        return []
+    cands = sorted(cand)
+    return [cands[_md5_draw(entity, i, seed) % len(cands)] for i in range(n)]
+
+
+def sampled_time_slices(
+    ts_s: np.ndarray,
+    n: int,
+    max_time_delta: int,
+    output_length: int,
+    min_timeslice_size: int,
+    entity,
+    seed: int,
+) -> list[tuple[int, int, np.ndarray]]:
+    """Start-time and slice semantics of extract_n_random_fixed_times
+    (reference feature_utilities.py:246-294) with the engine's seeded
+    draw.  ts_s: epoch seconds, sorted.  Returns per sample
+    (start_time, start_idx, padded_row_indices of length output_length);
+    [] when the entity yields no windows."""
+    L, m = output_length, min_timeslice_size
+    if len(ts_s) < m:
+        return []
+    min_time = int(ts_s[0]) - (L - m)
+    max_time = int(min(ts_s[len(ts_s) - m], ts_s[-1] - max_time_delta))
+    if max_time < min_time:
+        return []
+    out = []
+    for i in range(n):
+        start_time = min_time + _md5_draw(entity, i, seed) % (max_time - min_time + 1)
+        start_idx = int(np.searchsorted(ts_s, start_time, side="left"))
+        real = np.arange(start_idx, min(start_idx + L, len(ts_s)))
+        padded = real[np.arange(L) % len(real)]  # np_pad_repeat_slice
+        out.append((start_time, start_idx, padded))
+    return out
 
 
 def ffill(x: "np.ndarray") -> "np.ndarray":

@@ -258,7 +258,7 @@ t AS (
   FROM s
 )
 SELECT user_id, min(ts) AS run_start, max(ts) AS run_end,
-       any_value(event_type) AS value, count(*) AS n_points
+       min(event_type) AS value, count(*) AS n_points
 FROM t GROUP BY user_id, run_id
 """
 
@@ -271,6 +271,40 @@ def q_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # day-splitting off: the oracle models the pure run-length form
     return sessionize.consolidate_runs(
         ev, "event_type", entity="user_id", ts="ts", split_days=False
+    )
+
+
+# Day-split form: runs additionally break at UTC day boundaries — the
+# reference's day-chunked output (objectives.py:340-380).
+_RUNS_DAYSPLIT_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type
+           OR date_trunc('day', lag(ts) OVER w) <> date_trunc('day', ts)
+         THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+  SELECT user_id, ts, event_type,
+    sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM s
+)
+SELECT user_id, min(ts) AS run_start, max(ts) AS run_end,
+       min(event_type) AS value, count(*) AS n_points
+FROM t GROUP BY user_id, run_id
+"""
+
+
+@register("consolidate_runs_daysplit", _RUNS_DAYSPLIT_ORACLE)
+def q_runs_daysplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return sessionize.consolidate_runs(
+        ev, "event_type", entity="user_id", ts="ts", split_days=True
     )
 
 
@@ -675,3 +709,4 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 from gfwspark import queries_ml  # noqa: E402,F401  isort:skip
 from gfwspark import queries_metrics  # noqa: E402,F401  isort:skip
 from gfwspark import queries_extra  # noqa: E402,F401  isort:skip
+from gfwspark import queries_sampling  # noqa: E402,F401  isort:skip

@@ -49,13 +49,18 @@ def consolidate_runs(
     (entity, run_start, run_end, value, n_points) ranges — the
     sessionize step of build_json_results (objectives.py:340-380).
     `split_days` additionally breaks runs at UTC day boundaries, like
-    the reference's day-chunked output."""
+    the reference's day-chunked output.
+
+    Null-safe: a NULL value starts/extends its own run (NULL == NULL
+    for run grouping, via eqNullSafe) rather than silently merging into
+    the preceding run; the representative value is min() over the run
+    (homogeneous by construction, deterministic even for first-row
+    ties)."""
     w = Window.partitionBy(entity).orderBy(ts)
-    changed = (
-        F.when(F.lag(value_col).over(w).isNull(), 1)
-        .when(F.lag(value_col).over(w) != F.col(value_col), 1)
-        .otherwise(0)
-    )
+    first_row = F.row_number().over(w) == 1
+    changed = F.when(
+        first_row | ~F.lag(value_col).over(w).eqNullSafe(F.col(value_col)), 1
+    ).otherwise(0)
     if split_days:
         day_changed = F.when(
             F.lag(F.to_date(ts)).over(w) != F.to_date(ts), 1
@@ -70,7 +75,7 @@ def consolidate_runs(
         .agg(
             F.min(ts).alias("run_start"),
             F.max(ts).alias("run_end"),
-            F.first(value_col).alias("value"),
+            F.min(value_col).alias("value"),
             F.count(F.lit(1)).alias("n_points"),
         )
         .drop("run_id")

@@ -75,3 +75,23 @@ def test_snapshot_log_append_only(spark, tmp_path):
     s2 = checkpoint.read_snapshot(out)
     assert s2["snapshot_id"] == 2
     assert checkpoint.read_snapshot(out, 1)["snapshot_id"] == 1
+
+
+def test_bucket_count_change_invalidates_and_isolates(spark, tmp_path):
+    """Rerunning with a different n_buckets recomputes everything (the
+    bucket layout is part of the fingerprint) and read_result sees only
+    the new snapshot's buckets — leftover part dirs from the old layout
+    are not mixed in."""
+    df = tables.synthesize_image_caption(spark, n_entities=8, rows_per_entity=6)
+    out = str(tmp_path / "relayout")
+    checkpoint.run_resumable(df, _transform, out, n_buckets=4)
+    rows_4 = checkpoint.read_result(spark, out).count()
+
+    summary = checkpoint.run_resumable(df, _transform, out, n_buckets=2)
+    assert summary["skipped"] == []  # layout changed → no stale skips
+    snap = checkpoint.read_snapshot(out)
+    assert len(snap["buckets"]) == 2
+    # old part=2, part=3 dirs still exist on disk, but the read is
+    # snapshot-scoped: identical row count, no duplication
+    assert (tmp_path / "relayout" / "part=3").exists()
+    assert checkpoint.read_result(spark, out).count() == rows_4
