@@ -51,6 +51,40 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: i
     )
 
 
+def cap_hot_shingles(
+    sh: DataFrame, max_df: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Document-frequency cap: drop shingles appearing in more than
+    `max_df` documents BEFORE any self-join.
+
+    At web scale one boilerplate shingle ("all rights reserved") can
+    appear in millions of docs; a posting-list self-join is QUADRATIC in
+    that list, so an uncapped hot shingle turns the whole job into a
+    cross join.  Capped shingles carry almost no similarity signal
+    (they are corpus-wide stopword n-grams) — dropping them is the
+    standard df-cap used by every production MinHash pipeline.  Use
+    ``dropped_shingle_mass`` to report what the cap removed (no silent
+    truncation)."""
+    dfreq = sh.groupBy("sh_hash").agg(F.count(F.lit(1)).alias("_df"))
+    keep = dfreq.filter(F.col("_df") <= max_df).select("sh_hash")
+    # co-partitioned equi-join on sh_hash — reuses the self-join's shuffle key
+    return sh.join(keep, "sh_hash").select(id_col, "sh_hash")
+
+
+def dropped_shingle_mass(sh: DataFrame, max_df: int) -> DataFrame:
+    """One-row report of what cap_hot_shingles(max_df) removes:
+    (n_dropped_shingles, n_dropped_postings, max_df_seen).  Log this
+    alongside any capped run."""
+    dfreq = sh.groupBy("sh_hash").agg(F.count(F.lit(1)).alias("_df"))
+    return dfreq.agg(
+        F.sum(F.when(F.col("_df") > max_df, 1).otherwise(0)).alias("n_dropped_shingles"),
+        F.sum(F.when(F.col("_df") > max_df, F.col("_df")).otherwise(0)).alias(
+            "n_dropped_postings"
+        ),
+        F.max("_df").alias("max_df_seen"),
+    )
+
+
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 12) -> DataFrame:
     """K-permutation MinHash signature: one row per doc, columns mh_0..mh_{K-1}."""
     aggs = [
@@ -61,11 +95,21 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 12
 
 
 def lsh_candidates(
-    sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 12, bands: int = 4
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature (rows = n_hashes/bands) and self-join on
     (band_idx, band_key) → candidate pairs (a < b).  The join is on the
-    band key: cost linear in bucket collisions, not |docs|^2."""
+    band key: cost linear in bucket collisions, not |docs|^2.
+
+    `max_bucket_size` drops band buckets holding more docs than the cap
+    before the self-join — the bucket-level analog of the shingle df
+    cap (a near-universal boilerplate cluster makes one bucket
+    quadratic).  Dropped buckets are hyper-connected components a
+    downstream clusterer should handle wholesale, not pairwise."""
     rows = n_hashes // bands
     banded = sig.select(
         F.col(id_col),
@@ -82,6 +126,15 @@ def lsh_candidates(
             bands, ", ".join(f"{b}, band_{b}" for b in range(bands))
         ),
     )
+    if max_bucket_size is not None:
+        sizes = stacked.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        stacked = (
+            stacked.join(sizes, ["band_idx", "band_key"])
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -106,12 +159,15 @@ def minhash_near_dups(
     n_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: candidates verified with the exact
-    shingle-set Jaccard (estimate never reported — only true J >= t)."""
+    shingle-set Jaccard (estimate never reported — only true J >= t).
+    `max_bucket_size` bounds the band-bucket self-join (see
+    lsh_candidates)."""
     sh = shingles(df, id_col, text_col, k)
     sig = minhash_signatures(sh, id_col, n_hashes)
-    cand = lsh_candidates(sig, id_col, n_hashes, bands)
+    cand = lsh_candidates(sig, id_col, n_hashes, bands, max_bucket_size)
     return jaccard_verify(cand, sh, id_col, threshold)
 
 
@@ -152,11 +208,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 100,
 ) -> DataFrame:
     """All-pairs exact n-gram Jaccard >= threshold, via the shingle
     inverted index (pairs generated only for docs sharing a shingle —
-    the standard positional-join prune, never a cross join)."""
+    the standard positional-join prune, never a cross join).
+
+    `max_shingle_df` caps posting-list length before the self-join
+    (see cap_hot_shingles) — without it one boilerplate shingle makes
+    the join quadratic in its document frequency.  Jaccard is computed
+    over the CAPPED shingle universe (both intersection and sizes), the
+    standard df-capped approximation; pass None for the uncapped exact
+    form on small corpora."""
     sh = shingles(df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        sh = cap_hot_shingles(sh, max_shingle_df, id_col)
     a = sh.withColumnRenamed(id_col, "doc_a")
     b = sh.withColumnRenamed(id_col, "doc_b")
     pairs = (

@@ -688,18 +688,31 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact dedup via content hash (md5) on documents
 # ---------------------------------------------------------------------
 
+# testdata documents are all unique, so the pipeline is exercised on a
+# corpus with PLANTED copies (doc_id < 25 re-inserted under id+100000) —
+# the correctness row is non-vacuous: every planted hash must be found
+# with the right multiplicity and min-id keeper.
 _DEDUP_EXACT_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
+)
 SELECT md5(text) AS content_hash, count(*) AS n_copies,
        min(doc_id) AS keep_doc_id
-FROM documents GROUP BY md5(text) HAVING count(*) > 1
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 """
 
 
 @register("dedup_exact", _DEDUP_EXACT_ORACLE)
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tables.load_table(spark, sf_dir, "documents")
+    d = tables.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
     return (
-        d.groupBy(F.md5("text").alias("content_hash"))
+        d.unionByName(planted)
+        .groupBy(F.md5("text").alias("content_hash"))
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_copies") > 1)
     )

@@ -15,6 +15,10 @@ from gfwspark import dedup, similarity, tables, text
 from gfwspark.queries import register
 from gfwspark.text import _FP_MOD, STOPWORDS
 
+# embeddings table vector width (TESTDATA.md) — passed explicitly so no
+# plan-build-time Spark job infers it
+_EMB_DIM = 64
+
 # ---------------------------------------------------------------- SQL bits
 
 # DuckDB: whitespace tokens of trimmed text (empty → [])
@@ -152,8 +156,14 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(dedup.shingles(d))
 
 
+# mirrors ngram_jaccard_pairs(max_shingle_df=100): shingles above the
+# df cap are dropped from BOTH intersection and sizes (no effect at
+# sf0.01 — max df there is 7 — but the oracle replays the capped
+# pipeline, not an idealized one)
 _NGRAM_JACCARD_ORACLE = f"""
-WITH sh AS ({_D_SHINGLES}),
+WITH sh0 AS ({_D_SHINGLES}),
+keep AS (SELECT sh_hash FROM sh0 GROUP BY sh_hash HAVING count(*) <= 100),
+sh AS (SELECT sh0.doc_id, sh0.sh_hash FROM sh0 JOIN keep USING (sh_hash)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -261,13 +271,21 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return similarity.lsh_topk(emb, q, k=5)
+    return similarity.lsh_topk(emb, q, k=5, dim=_EMB_DIM)
 
 
 @register("embedding_near_dups", None)  # approximate: rows-only check
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = tables.load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(emb, threshold=0.9)
+    # plant exact duplicates (vec_id < 15 re-inserted under id+100000) so
+    # the correctness row is NON-vacuous at sf0.01: the pipeline must
+    # bucket each planted copy with its source and report cosine 1.0
+    emb = tables.load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return similarity.embedding_near_dups(
+        emb.unionByName(planted), threshold=0.9, dim=_EMB_DIM
+    )
 
 
 # ---------------------------------------------------------------------
@@ -353,8 +371,13 @@ register("ann_lsh_topk", _LSH_TOPK_ORACLE)(q_lsh_topk)
 
 
 _EMBED_NEAR_DUP_ORACLE = f"""
-WITH c AS (
-  SELECT vec_id, embedding, {_d_bucket('embedding')} AS bucket FROM embeddings
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 15
+),
+c AS (
+  SELECT vec_id, embedding, {_d_bucket('embedding')} AS bucket FROM base
 )
 SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
   round({_d_dot('a.embedding', 'b.embedding')}

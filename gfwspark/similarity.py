@@ -83,11 +83,13 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def with_lsh_bucket(
-    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, dim: int | None = None
+    df: DataFrame, dim: int, vec_col: str = "embedding", n_planes: int = 8
 ) -> DataFrame:
-    """Signbit bucket id from n_planes fixed hyperplanes."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    """Signbit bucket id from n_planes fixed hyperplanes.
+
+    `dim` is REQUIRED (take it from schema metadata / table config):
+    inferring it with a `.first()` would fire a Spark job during plan
+    construction — a full-scan landmine when the corpus is a table."""
     planes = _hyperplanes(n_planes, dim)
     bucket = F.lit(0)
     for h, plane in enumerate(planes):
@@ -109,17 +111,18 @@ def lsh_topk(
     q_id_col: str = "q_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates = same bucket; exact cosine re-rank
     within.  Recall < 1 by construction; multiprobe = union over extra
-    plane subsets if needed (not implemented round 1)."""
-    dim = len(corpus.select(vec_col).first()[0])
-    c = with_lsh_bucket(corpus, vec_col, n_planes, dim)
+    plane subsets if needed (not implemented yet).  `dim` must match the
+    embedding width — no driver-side inference job is fired."""
+    c = with_lsh_bucket(corpus, dim, vec_col, n_planes)
     q = with_lsh_bucket(
         queries.select(F.col(q_id_col), F.col(vec_col).alias("q_embedding")),
+        dim,
         "q_embedding",
         n_planes,
-        dim,
     )
     cand = c.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col(q_id_col))
     scored = with_cosine(cand, vec_col, "q_embedding")
@@ -137,9 +140,10 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Cosine >= threshold pairs via bucket self-join (a < b)."""
-    c = with_lsh_bucket(corpus, vec_col, n_planes)
+    c = with_lsh_bucket(corpus, dim, vec_col, n_planes)
     a = c.select(
         F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )

@@ -99,7 +99,7 @@ def test_lsh_topk_same_bucket_for_scaled_copy(spark):
     q = corpus.filter(F.col("vec_id") == 4).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    top = similarity.lsh_topk(corpus, q, k=3).toPandas()
+    top = similarity.lsh_topk(corpus, q, k=3, dim=8).toPandas()
     assert 9 in set(top.vec_id)  # scaled copy shares every hyperplane sign
 
 
@@ -109,7 +109,7 @@ def test_embedding_near_dups_finds_pair(spark):
     vecs[11] = vecs[2] * 1.5
     rows = [(i, [float(x) for x in vecs[i]]) for i in range(15)]
     corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    dups = similarity.embedding_near_dups(corpus, threshold=0.99).toPandas()
+    dups = similarity.embedding_near_dups(corpus, threshold=0.99, dim=8).toPandas()
     assert (2, 11) in {(r.id_a, r.id_b) for _, r in dups.iterrows()}
 
 
@@ -125,3 +125,48 @@ def test_quality_score_ranks_sane(spark):
     q = text.with_quality_score(df).toPandas().set_index("doc_id")["quality"]
     assert q[1] > q[2]
     assert q[1] > q[3]
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A boilerplate shingle shared by thousands of docs must NOT make
+    the inverted-index self-join quadratic: with the df cap it is
+    dropped before the join, genuine near-dups are still found, and the
+    dropped mass is reportable (no silent truncation)."""
+    import time
+
+    boiler = "all rights reserved"
+    rows = [(i, f"{boiler} unique{i} token{i} filler{i} distinct{i}") for i in range(2000)]
+    # one genuine near-dup pair sharing most shingles
+    rows.append((9001, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((9002, "alpha beta gamma delta epsilon zeta eta iota"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = dedup.shingles(d)
+    mass = dedup.dropped_shingle_mass(sh, max_df=100).first()
+    assert mass["n_dropped_shingles"] >= 1          # the boilerplate shingle
+    assert mass["max_df_seen"] >= 2000
+
+    t0 = time.time()
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5, max_shingle_df=100).toPandas()
+    elapsed = time.time() - t0
+    got = {(r.doc_a, r.doc_b) for _, r in pairs.iterrows()}
+    assert (9001, 9002) in got
+    # no boilerplate-only pair survives (those share ONLY the hot shingle)
+    assert all(a >= 9000 for a, b in got)
+    assert elapsed < 60  # bounded: ~4M spurious pairs never materialize
+
+
+def test_lsh_bucket_size_cap(spark):
+    """max_bucket_size drops a hyper-connected band bucket from the
+    candidate self-join."""
+    # 50 identical docs -> every band bucket has 50 members
+    rows = [(i, "same exact text for everyone here today") for i in range(50)]
+    rows += [(100, "totally different words appear in this document"),
+             (101, "totally different words appear in this document")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signatures(dedup.shingles(d))
+    uncapped = dedup.lsh_candidates(sig).count()
+    capped = dedup.lsh_candidates(sig, max_bucket_size=10)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert uncapped >= 50 * 49 // 2
+    assert got == {(100, 101)}  # the 50-clone bucket is dropped wholesale
