@@ -271,16 +271,24 @@ def sample_video_frames(df, every_n: int = 2, video_col: str = "video", fmt_col:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                frames = decode_video(bytes(r[video_col]), r[fmt_col])
-                for i in range(0, len(frames), every_n):
-                    rows.append(
-                        {**{k: r[k] for k in keep_names},
-                         "frame_idx": i,
-                         "frame_lum": float(frames[i].mean())}
-                    )
-            yield pd.DataFrame(rows, columns=keep_names + ["frame_idx", "frame_lum"])
+            # decode is inherently per-row (one opaque blob each); the
+            # explode + metadata replication below is vectorized —
+            # frames are sampled in one strided slice per video, and
+            # the output assembles via pdf.iloc[src] (no iterrows)
+            src_idx, f_idx, f_lum = [], [], []
+            vids = pdf[video_col].to_numpy()
+            fmts = pdf[fmt_col].to_numpy()
+            for j in range(len(pdf)):
+                frames = decode_video(bytes(vids[j]), fmts[j])
+                sampled = frames[::every_n]
+                lums = sampled.astype(np.float64).mean(axis=(1, 2, 3))
+                src_idx.extend([j] * len(sampled))
+                f_idx.extend(range(0, len(frames), every_n))
+                f_lum.extend(lums.tolist())
+            out = pdf.iloc[src_idx][keep_names].reset_index(drop=True)
+            out["frame_idx"] = pd.array(f_idx, dtype="int32")
+            out["frame_lum"] = f_lum
+            yield out
 
     return df.mapInPandas(kernel, schema=out_schema)
 

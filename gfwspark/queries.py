@@ -527,12 +527,16 @@ SELECT
 
 @register("semi_anti_join", _SEMI_ANTI_ORACLE)
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = tables.load_table(spark, sf_dir, "customer")
+    # one distributed job, no driver-side counts: semi = customers with
+    # a match, anti = total - semi, both from a single left-semi + agg
+    c = tables.load_table(spark, sf_dir, "customer").select("c_custkey")
     o = tables.load_table(spark, sf_dir, "orders").select("o_custkey")
-    with_o = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
-    without_o = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
-    return c.sparkSession.createDataFrame(
-        [(with_o, without_o)], "n_with_orders bigint, n_without_orders bigint"
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit(1).alias("_hit")
+    )
+    return c.select(F.lit(0).alias("_hit")).unionByName(semi).agg(
+        F.sum("_hit").alias("n_with_orders"),
+        (F.count(F.lit(1)) - 2 * F.sum("_hit")).alias("n_without_orders"),
     )
 
 

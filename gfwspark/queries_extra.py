@@ -170,33 +170,118 @@ def q_stable_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# W5 repeat-pad + W2 aligned windows: array-valued kernels, rows-only
+# W5 repeat-pad + W2 aligned windows — FULL oracles in exploded scalar
+# form (one row per window position; the repeat-pad index rule
+# out[k] = series[offset + k % c] is replayed in SQL, same trick as the
+# W3 sampler in queries_sampling.py)
 # ---------------------------------------------------------------------
 
+_DUCK_IMG_X = tables.sql_image_caption("duckdb").strip()
 
-@register("repeat_pad_windows", None)
+_REPEAT_PAD_ORACLE = f"""
+WITH img AS ({_DUCK_IMG_X}),
+f AS (
+  SELECT image_id, ts, cast(phash AS double) AS phash, cast(w AS double) AS wd,
+    row_number() OVER (PARTITION BY image_id ORDER BY ts) - 1 AS rn,
+    count(*) OVER (PARTITION BY image_id) AS n
+  FROM img
+),
+meta AS (
+  SELECT image_id, cast(max(n) AS int) AS n_src_points,
+    greatest(0, max(n) - 16) AS off, least(max(n), 16) AS c,
+    max(ts) AS win_end_ts
+  FROM f GROUP BY image_id
+),
+posg AS (SELECT *, unnest(generate_series(0, 15)) AS pos FROM meta)
+SELECT p.image_id, p.n_src_points, p.win_end_ts, cast(p.pos AS int) AS pos,
+       f.phash, f.wd
+FROM posg p
+JOIN f ON f.image_id = p.image_id AND f.rn = p.off + (p.pos % p.c)
+"""
+
+
+@register("repeat_pad_windows", _REPEAT_PAD_ORACLE)
 def q_repeat_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = tables.image_caption_from_events(spark, sf_dir)
-    return windows.repeat_pad_windows(
+    w = windows.repeat_pad_windows(
         img.withColumn("wd", F.col("w").cast("double")),
         ["phash", "wd"],
         window_size=16,
     )
+    return w.select(
+        "image_id",
+        "n_src_points",
+        "win_end_ts",
+        F.posexplode("features").alias("pos", "e"),
+    ).select(
+        "image_id",
+        "n_src_points",
+        "win_end_ts",
+        "pos",
+        F.col("e")[0].alias("phash"),
+        F.col("e")[1].alias("wd"),
+    )
 
 
-@register("aligned_windows", None)
+_ALIGNED_START, _ALIGNED_END = "2024-01-05 00:00:00", "2024-01-25 00:00:00"
+
+_ALIGNED_ORACLE = f"""
+WITH img AS ({_DUCK_IMG_X}),
+sel AS (
+  SELECT image_id, ts, cast(phash AS double) AS phash, cast(w AS double) AS wd,
+    row_number() OVER (PARTITION BY image_id ORDER BY ts) - 1 AS rn,
+    count(*) OVER (PARTITION BY image_id) AS n
+  FROM img
+  WHERE ts >= timestamp '{_ALIGNED_START}' AND ts <= timestamp '{_ALIGNED_END}'
+),
+meta AS (
+  SELECT image_id, max(n) AS n,
+    CASE WHEN max(n) <= 16 THEN 16 - max(n)
+         ELSE ((16 - max(n)) % 4 + 4) % 4 END AS pad
+  FROM sel GROUP BY image_id
+),
+wins AS (
+  SELECT image_id, n, pad,
+    unnest(generate_series(0, (n + pad - 16) // 4)) AS win_idx
+  FROM meta
+),
+posg AS (SELECT *, unnest(generate_series(0, 15)) AS pos FROM wins)
+SELECT p.image_id, cast(p.win_idx AS int) AS win_idx,
+  cast(p.n AS int) AS n_real_points, cast(p.pad AS int) AS n_pad,
+  cast(p.pos AS int) AS pos, f.phash, f.wd
+FROM posg p
+JOIN sel f ON f.image_id = p.image_id
+  AND f.rn = greatest(0, p.win_idx * 4 + p.pos - p.pad)
+"""
+
+
+@register("aligned_windows", _ALIGNED_ORACLE)
 def q_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
     img = tables.image_caption_from_events(spark, sf_dir)
-    bounds = img.agg(
-        F.min("ts").alias("lo"), F.max("ts").alias("hi")
-    ).first()
-    return windows.aligned_windows(
+    w = windows.aligned_windows(
         img.withColumn("wd", F.col("w").cast("double")),
         ["phash", "wd"],
         window_size=16,
         shift=4,
-        start_ts=bounds["lo"],
-        end_ts=bounds["hi"],
+        start_ts=pd.Timestamp(_ALIGNED_START),
+        end_ts=pd.Timestamp(_ALIGNED_END),
+    )
+    return w.select(
+        "image_id",
+        "win_idx",
+        "n_real_points",
+        "n_pad",
+        F.posexplode("features").alias("pos", "e"),
+    ).select(
+        "image_id",
+        "win_idx",
+        "n_real_points",
+        "n_pad",
+        "pos",
+        F.col("e")[0].alias("phash"),
+        F.col("e")[1].alias("wd"),
     )
 
 

@@ -387,10 +387,14 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = tables.load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("c_nationkey")
     )
-    n_both = c.intersect(s).count()
-    n_conly = c.distinct().exceptAll(s.distinct()).count()
-    return c.sparkSession.createDataFrame(
-        [(n_both, n_conly)], "n_both bigint, n_customer_only bigint"
+    # one distributed job: intersect/except both reduce to whether a
+    # distinct customer key also appears on the supplier side
+    hits = c.distinct().join(
+        s.distinct().withColumn("_s", F.lit(1)), "c_nationkey", "left"
+    )
+    return hits.agg(
+        F.count("_s").alias("n_both"),
+        F.sum(F.when(F.col("_s").isNull(), 1).otherwise(0)).alias("n_customer_only"),
     )
 
 

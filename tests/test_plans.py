@@ -80,3 +80,14 @@ def test_whole_stage_codegen_covers_flagship(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "*(" in plan  # whole-stage-codegen spans present
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_samplers_stay_jvm_side(spark):
+    """The W4/W3 training samplers are pure DataFrame plans: no Python
+    eval nodes anywhere, and the ranges dim joins via broadcast."""
+    for name in ("range_anchored_windows", "sampled_time_windows"):
+        plan = _plan(queries.all_queries()[name](spark, SF_MED))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+    w4 = _plan(queries.all_queries()["range_anchored_windows"](spark, SF_MED))
+    assert "BroadcastNestedLoopJoin" in w4 or "BroadcastHashJoin" in w4
