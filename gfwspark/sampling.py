@@ -85,29 +85,72 @@ def range_anchored_windows(
     the cook_features payload (feature_utilities.py:122-151).
     """
     L = output_length
-    order = [F.col("_ts").asc()] + (
-        [F.col(order_tiebreak).asc()] if order_tiebreak else []
-    )
-    wo = Window.partitionBy(entity).orderBy(*order)
-    facts = df.select(
+    tiebreaks = [order_tiebreak] if order_tiebreak else []
+
+    # --- searchsorted WITHOUT exploding facts x ranges ---------------
+    # Interleave per-(entity, range) boundary rows into the fact stream
+    # (the asof_join_union trick): a running count of fact rows at a
+    # start boundary (sorted BEFORE equal-ts facts) is exactly
+    # searchsorted(ts, start, 'left'); at an end boundary (sorted
+    # AFTER) it is searchsorted(ts, end, 'right').  Facts shuffle ONCE
+    # on entity; boundary rows are |entities| x |ranges| (tiny).  The
+    # old shape — crossJoin(ranges) then conditional counts — shipped
+    # |facts| x |ranges| rows into the aggregation, which at web scale
+    # multiplies the biggest shuffle in the job by the range count.
+    f = df.select(
         entity,
         F.col(ts).alias("_ts"),
         F.col(value_col).cast("double").alias("_val"),
-        *([order_tiebreak] if order_tiebreak else []),
-    ).withColumn("_rn", F.row_number().over(wo) - 1)
-
-    # searchsorted via conditional counts: one pass over facts x ranges
+        *tiebreaks,
+    ).select(
+        "*", F.lit(1).alias("_side"), F.lit(None).cast("long").alias("_rkey")
+    )
+    ents = df.select(entity).distinct()
+    rng = ranges.select(
+        "range_start", "range_end", F.monotonically_increasing_id().alias("_rkey")
+    )
+    bnd_pairs = ents.crossJoin(F.broadcast(rng))
+    bnd = bnd_pairs.select(
+        entity,
+        F.col("range_start").alias("_ts"),
+        F.lit(None).cast("double").alias("_val"),
+        *[F.lit(None).cast(df.schema[c].dataType).alias(c) for c in tiebreaks],
+        F.lit(0).alias("_side"),
+        "_rkey",
+    ).unionByName(
+        bnd_pairs.select(
+            entity,
+            F.col("range_end").alias("_ts"),
+            F.lit(None).cast("double").alias("_val"),
+            *[F.lit(None).cast(df.schema[c].dataType).alias(c) for c in tiebreaks],
+            F.lit(2).alias("_side"),
+            "_rkey",
+        )
+    )
+    order = [F.col("_ts").asc(), F.col("_side").asc()] + [
+        F.col(c).asc() for c in tiebreaks
+    ]
+    wrun = (
+        Window.partitionBy(entity)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(entity)
+    stream = (
+        f.unionByName(bnd)
+        .withColumn("_cnt", F.sum(F.when(F.col("_side") == 1, 1).otherwise(0)).over(wrun))
+        .withColumn("_n_rows", F.sum(F.when(F.col("_side") == 1, 1).otherwise(0)).over(wall))
+    )
+    facts = stream.filter(F.col("_side") == 1).select(
+        entity, "_ts", "_val", (F.col("_cnt") - 1).alias("_rn")
+    )
     per_range = (
-        facts.crossJoin(F.broadcast(ranges))
-        .groupBy(entity, "range_start", "range_end")
+        stream.filter(F.col("_side") != 1)
+        .groupBy(entity, "_rkey")
         .agg(
-            F.count(F.lit(1)).alias("_n_rows"),
-            F.sum(F.when(F.col("_ts") < F.col("range_start"), 1).otherwise(0)).alias(
-                "_start_ndx"
-            ),
-            F.sum(F.when(F.col("_ts") <= F.col("range_end"), 1).otherwise(0)).alias(
-                "_end_ndx"
-            ),
+            F.max(F.when(F.col("_side") == 0, F.col("_cnt"))).alias("_start_ndx"),
+            F.max(F.when(F.col("_side") == 2, F.col("_cnt"))).alias("_end_ndx"),
+            F.max("_n_rows").alias("_n_rows"),
         )
         .filter(F.col("_n_rows") >= L)
         .select(
