@@ -388,3 +388,97 @@ WHERE round({_d_dot('a.embedding', 'b.embedding')}
 """
 
 register("embedding_near_dups", _EMBED_NEAR_DUP_ORACLE)(q_embed_near_dups)
+
+
+# ---------------------------------------------------------------------
+# Multiprobe LSH + IVF — the two classic ANN scale paths, both fully
+# deterministic (fixed hyperplanes; deterministic centroid stand-in =
+# smallest vec_ids) and therefore value-exact against DuckDB.
+# ---------------------------------------------------------------------
+
+_PROBE_LIST = "[c.bucket, " + ", ".join(
+    f"xor(c.bucket, {1 << h})" for h in range(8)
+) + "]"
+
+_LSH_MULTIPROBE_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, embedding, {_d_bucket('embedding')} AS bucket FROM embeddings
+),
+qp AS (
+  SELECT c.vec_id AS q_id, c.embedding AS q_emb, unnest({_PROBE_LIST}) AS bucket
+  FROM c WHERE c.vec_id < 10
+),
+scored AS (
+  SELECT qp.q_id, x.vec_id,
+    round({_d_dot('x.embedding', 'qp.q_emb')}
+          / ({_d_norm('x.embedding')} * {_d_norm('qp.q_emb')}), 6) AS cosine
+  FROM c x JOIN qp ON x.bucket = qp.bucket AND x.vec_id <> qp.q_id
+),
+r AS (
+  SELECT q_id, vec_id, cosine,
+    cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS int) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("ann_lsh_multiprobe", _LSH_MULTIPROBE_ORACLE)
+def q_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.lsh_topk_multiprobe(emb, q, k=5, dim=_EMB_DIM)
+
+
+_IVF_N_CENT, _IVF_N_PROBE = 16, 4
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS c_vec FROM embeddings
+  WHERE vec_id < {_IVF_N_CENT}
+),
+asg AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round({_d_dot('e.embedding', 'c.c_vec')}
+              / ({_d_norm('e.embedding')} * {_d_norm('c.c_vec')}), 6) DESC, c.cid) AS rnk
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rnk = 1
+),
+qprob AS (
+  SELECT q_id, q_emb, cid FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        round({_d_dot('q.embedding', 'c.c_vec')}
+              / ({_d_norm('q.embedding')} * {_d_norm('c.c_vec')}), 6) DESC, c.cid) AS pr
+    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+  ) WHERE pr <= {_IVF_N_PROBE}
+),
+scored AS (
+  SELECT p.q_id, a.vec_id,
+    round({_d_dot('a.embedding', 'p.q_emb')}
+          / ({_d_norm('a.embedding')} * {_d_norm('p.q_emb')}), 6) AS cosine
+  FROM asg a JOIN qprob p ON a.cid = p.cid AND a.vec_id <> p.q_id
+),
+r AS (
+  SELECT q_id, vec_id, cosine,
+    cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS int) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_topk", _IVF_ORACLE)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _IVF_N_CENT).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, q, cent, k=5, n_probe=_IVF_N_PROBE)

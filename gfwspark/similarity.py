@@ -134,6 +134,117 @@ def lsh_topk(
     )
 
 
+def lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Multiprobe LSH top-k: each query probes its own bucket PLUS the
+    n_planes Hamming-1 neighbors (one plane bit flipped).  The standard
+    fix for single-probe's recall cliff — a near neighbor that lands
+    just across one hyperplane is still found — at the cost of
+    (n_planes+1)x more candidate lookups per QUERY (corpus untouched:
+    each corpus vector still lives in exactly one bucket, so a pair can
+    match through at most one probe and needs no dedup).
+    cf. Lv et al., Multi-Probe LSH (VLDB'07)."""
+    c = with_lsh_bucket(corpus, dim, vec_col, n_planes)
+    q = with_lsh_bucket(
+        queries.select(F.col(q_id_col), F.col(vec_col).alias("q_embedding")),
+        dim,
+        "q_embedding",
+        n_planes,
+    )
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << h)) for h in range(n_planes)]
+    )
+    qp = q.select(
+        q_id_col, "q_embedding", F.explode(probes).alias("bucket")
+    )
+    cand = c.join(F.broadcast(qp), "bucket").filter(F.col(id_col) != F.col(q_id_col))
+    scored = with_cosine(cand, vec_col, "q_embedding")
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its highest-cosine
+    centroid (ties to the smaller centroid id).  Broadcast the (tiny)
+    centroid table; the corpus is touched map-side only — the classic
+    inverted-file build, write-side partitionable by `cid`."""
+    cent = centroids.select(
+        F.col("cid"), F.col(vec_col).alias("c_vec")
+    )
+    scored = df.crossJoin(F.broadcast(cent)).withColumn(
+        "_sim", F.round(_dot(vec_col, "c_vec") / (_norm_col(vec_col) * _norm_col("c_vec")), 6)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(F.struct("cid", vec_col), F.struct((-F.col("_sim")).alias("d"), "cid")).alias("_best")
+        )
+        .select(id_col, F.col("_best.cid").alias("cid"), F.col(f"_best.{vec_col}").alias(vec_col))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest centroid
+    (ivf_assign); each query probes its `n_probe` nearest centroids;
+    exact cosine re-rank inside the probed lists.
+
+    `centroids` is caller-supplied (cid, embedding) — production trains
+    it with k-means; the engine's deterministic stand-in (smallest
+    vec_ids, see queries_ml) keeps the oracle replayable.  At 100 TB
+    the inverted lists are the write-side partitioning, so a query
+    touches n_probe/n_centroids of the corpus."""
+    c = ivf_assign(corpus, centroids, id_col, vec_col)
+    cent = centroids.select("cid", F.col(vec_col).alias("c_vec"))
+    qs = (
+        queries.select(F.col(q_id_col), F.col(vec_col).alias("q_embedding"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "_sim",
+            F.round(_dot("q_embedding", "c_vec") / (_norm_col("q_embedding") * _norm_col("c_vec")), 6),
+        )
+    )
+    wq = Window.partitionBy(q_id_col).orderBy(F.col("_sim").desc(), F.col("cid"))
+    probes = (
+        qs.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select(q_id_col, "q_embedding", "cid")
+    )
+    cand = c.join(F.broadcast(probes), "cid").filter(F.col(id_col) != F.col(q_id_col))
+    scored = with_cosine(cand, vec_col, "q_embedding")
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

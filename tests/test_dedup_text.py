@@ -170,3 +170,45 @@ def test_lsh_bucket_size_cap(spark):
     got = {(r.doc_a, r.doc_b) for r in capped.collect()}
     assert uncapped >= 50 * 49 // 2
     assert got == {(100, 101)}  # the 50-clone bucket is dropped wholesale
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multiprobe (Hamming-1) candidate sets strictly contain the
+    single-probe sets, so recall vs brute-force ground truth can only
+    improve — measured on the real embeddings table."""
+    from gfwspark import tables
+
+    emb = tables.load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("q_id"), "embedding")
+    truth = similarity.brute_force_topk(emb, q, k=5).toPandas()
+    single = similarity.lsh_topk(emb, q, k=5, dim=64).toPandas()
+    multi = similarity.lsh_topk_multiprobe(emb, q, k=5, dim=64).toPandas()
+
+    def recall(approx):
+        t = truth.groupby("q_id")["vec_id"].apply(set)
+        a = approx.groupby("q_id")["vec_id"].apply(set)
+        return sum(len(t[q] & a.get(q, set())) for q in t.index) / (5 * len(t))
+
+    r1, rm = recall(single), recall(multi)
+    assert rm >= r1
+    # iid-random 64-dim embeddings have near-uniform cosines (top-5 is
+    # mostly noise), so absolute recall is structurally low here; the
+    # point is the 9x probe set lifts it (measured: 0.08 -> 0.22)
+    assert rm >= 0.15 and rm > r1
+
+
+def test_ivf_topk_probes_find_planted_neighbor(spark):
+    """A vector identical to a query must be found by IVF (same nearest
+    centroid, cosine 1.0 at rank 1)."""
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(40, 8).astype("float32")
+    vecs[33] = vecs[6] * 2.0  # scaled copy of the query
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    q = corpus.filter(F.col("vec_id") == 6).select(F.col("vec_id").alias("q_id"), "embedding")
+    top = similarity.ivf_topk(corpus, q, cent, k=3, n_probe=2).toPandas()
+    best = top[top["rank"] == 1].iloc[0]
+    assert best.vec_id == 33 and best.cosine == 1.0
