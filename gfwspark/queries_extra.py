@@ -286,6 +286,62 @@ def q_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# W6: repeat-pad + seeded roll augmentation — full oracle: the rolled
+# element at position k is series[off + ((k - roll) mod L) mod c] with
+# roll = md5(entity:roll:seed) % L, all SQL-expressible.
+# ---------------------------------------------------------------------
+
+_ROLL_L, _ROLL_SEED = 16, 42
+
+_ROLL_ORACLE = f"""
+WITH img AS ({_DUCK_IMG_X}),
+f AS (
+  SELECT image_id, ts, cast(phash AS double) AS phash, cast(w AS double) AS wd,
+    row_number() OVER (PARTITION BY image_id ORDER BY ts) - 1 AS rn,
+    count(*) OVER (PARTITION BY image_id) AS n
+  FROM img
+),
+meta AS (
+  SELECT image_id, cast(max(n) AS int) AS n_src_points,
+    greatest(0, max(n) - {_ROLL_L}) AS off, least(max(n), {_ROLL_L}) AS c,
+    cast(cast(('0x' || substr(md5(concat_ws(':', image_id, 'roll', {_ROLL_SEED})), 1, 8)) AS bigint)
+         % {_ROLL_L} AS int) AS roll
+  FROM f GROUP BY image_id
+),
+posg AS (SELECT *, unnest(generate_series(0, {_ROLL_L - 1})) AS pos FROM meta)
+SELECT p.image_id, p.n_src_points, p.roll, cast(p.pos AS int) AS pos,
+       f.phash, f.wd
+FROM posg p
+JOIN f ON f.image_id = p.image_id
+  AND f.rn = p.off + ((((p.pos - p.roll) % {_ROLL_L} + {_ROLL_L}) % {_ROLL_L}) % p.c)
+"""
+
+
+@register("repeat_pad_roll", _ROLL_ORACLE)
+def q_repeat_pad_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = tables.image_caption_from_events(spark, sf_dir)
+    w = windows.repeat_pad_roll_windows(
+        img.withColumn("wd", F.col("w").cast("double")),
+        ["phash", "wd"],
+        window_size=_ROLL_L,
+        seed=_ROLL_SEED,
+    )
+    return w.select(
+        "image_id",
+        "n_src_points",
+        "roll",
+        F.posexplode("features").alias("pos", "e"),
+    ).select(
+        "image_id",
+        "n_src_points",
+        "roll",
+        "pos",
+        F.col("e")[0].alias("phash"),
+        F.col("e")[1].alias("wd"),
+    )
+
+
+# ---------------------------------------------------------------------
 # W3: fixed-duration backward time window (rangeBetween)
 # ---------------------------------------------------------------------
 
@@ -307,6 +363,35 @@ def q_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return windows.with_time_range_agg(
         ev, "value", duration_s=3600, entity="user_id", ts="ts", prefix="v_t3600"
+    ).drop("value")
+
+
+# Hot-entity chunked form of the same computation: identical results,
+# but each entity spreads over ceil(span/chunk) parallel tasks (the
+# 10^7-row hot-key path).  The oracle is the plain RANGE BETWEEN window
+# — chunk+carry must be observationally invisible.
+_CHUNKED_TIME_RANGE_ORACLE = """
+SELECT user_id, ts, event_id,
+  count(value) OVER w AS v_t3600_cnt,
+  min(value) OVER w AS v_t3600_min,
+  max(value) OVER w AS v_t3600_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("chunked_time_range", _CHUNKED_TIME_RANGE_ORACLE)
+def q_chunked_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # chunk = 5 days: ~6 chunks per entity-month.  Pick chunk_s so a
+    # chunk's occupancy bounds task memory AND groups stay coarse —
+    # thousands of near-empty chunks just buy Arrow round-trip overhead.
+    return windows.chunked_time_range_agg(
+        ev, "value", duration_s=3600, chunk_s=86400 * 5,
+        entity="user_id", ts="ts", prefix="v_t3600",
     ).drop("value")
 
 

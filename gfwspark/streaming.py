@@ -133,3 +133,21 @@ def stream_hamming_state(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_dedup_exact(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the exact content dedup (dedup_exact query):
+    keep the first document per content hash, with state bounded by the
+    watermark (dropDuplicatesWithinWatermark evicts hashes once no
+    older-than-watermark duplicate can arrive — the only way exact
+    dedup state stays finite on an unbounded stream)."""
+    return (
+        stream.withColumn("content_hash", F.md5(text_col))
+        .withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

@@ -413,7 +413,9 @@ def with_time_range_agg(
 # W6: repeat-pad + seeded roll augmentation (np_pad_repeat_slice_2,
 # feature_utilities.py:73-102): mark the gap, tile, roll by a seeded
 # offset that is a pure function of (entity, seed) — reproducible,
-# unlike the reference's unseeded RandomState.
+# unlike the reference's unseeded RandomState.  The offset uses the
+# engine's shared md5 32-bit draw (sampling._md5_draw construction),
+# so a DuckDB oracle replays it exactly.
 # ------------------------------------------------------------------
 
 def repeat_pad_roll_windows(
@@ -445,8 +447,8 @@ def repeat_pad_roll_windows(
         if n < window_size:
             reps = int(np.ceil(window_size / n))
             mat = np.concatenate([mat] * reps, axis=0)[:window_size]
-        h = hashlib.blake2b(f"{eid}:{seed}".encode(), digest_size=4)
-        roll = int.from_bytes(h.digest(), "big") % window_size
+        h = hashlib.md5(f"{eid}:roll:{seed}".encode()).hexdigest()[:8]
+        roll = int(h, 16) % window_size
         mat = np.roll(mat, roll, axis=0)
         return pd.DataFrame(
             {

@@ -90,3 +90,35 @@ def test_stream_hamming_state_matches_batch_lag(spark, parquet_input):
         want[["image_id", "phash", "phash_hamming"]],
         check_dtype=False,
     )
+
+
+def test_stream_dedup_exact_keeps_one_per_hash(spark, tmp_path):
+    """Planted duplicate texts collapse to one row per content hash
+    through the streaming dedup (availableNow replay)."""
+    import pandas as pd
+
+    from gfwspark import streaming
+
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["aa", "bb", "aa", "cc", "bb"],
+            "ts": [base + pd.Timedelta(minutes=k) for k in range(5)],
+        }
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    out = streaming.stream_dedup_exact(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT text, count(*) n FROM dedup_stream GROUP BY text").toPandas()
+    assert set(got["text"]) == {"aa", "bb", "cc"}
+    assert (got["n"] == 1).all()
