@@ -20,6 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from gfwspark.text import ensure_explode_parallelism as _ensure_explode_parallelism
 from gfwspark.text import token_hash32, tokens_col
 
 # MinHash permutation parameters: h_i(x) = (A_i * x + B_i) mod P.
@@ -37,6 +38,7 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: i
     """Distinct k-token shingle hashes per document: slide a k-window
     over the token array (transform over indices — JVM-only), hash each
     shingle string, explode, distinct."""
+    df = _ensure_explode_parallelism(df)
     toks = tokens_col(text_col)
     # sequence(0, size-k) inclusive gives size-k+1 windows; guard short docs
     sh = F.when(F.size(toks) >= k, F.transform(
@@ -252,6 +254,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     """Per-document SimHash: bit b set iff the majority of token hashes
     have bit b set.  Explode tokens → per-bit sums → recombine.  All
     shifts/sums are int64-safe."""
+    df = _ensure_explode_parallelism(df)
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
     h = toks.withColumn("th", token_hash32("tok"))
     votes = h.groupBy(id_col).agg(

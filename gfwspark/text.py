@@ -36,6 +36,22 @@ def tokens_col(text_col: str = "text"):
     )
 
 
+def ensure_explode_parallelism(df: DataFrame) -> DataFrame:
+    """Explosive operators (shingle/token explode: ~100-200x row
+    multiplication) need parallelism sized for their OUTPUT, but scan
+    splits are sized for INPUT bytes — a small/single-row-group file
+    arrives as one task and the whole explode runs on one core.  A
+    pre-explode repartition costs an input-proportional shuffle and
+    buys output-proportional parallelism — at any scale the shuffle is
+    <1% of the explode's downstream work.  No-op when the input already
+    has enough partitions (the 100 TB case: thousands of files)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish subword count: greedy
     alphanumeric runs of length <= 4 approximate byte-pair segments
@@ -90,6 +106,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language ID: explode tokens, broadcast-join the
     lexicon, count hits per (doc, lang), keep argmax.  Ties break
     alphabetically; docs with zero hits → 'und'."""
+    df = ensure_explode_parallelism(df)
     spark = df.sparkSession
     lex = spark.createDataFrame(
         [(w, lang) for lang, ws in STOPWORDS.items() for w in ws],
