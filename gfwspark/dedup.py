@@ -270,3 +270,56 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
             F.col(f"bit_{b}") * 2 > F.col("n_tok"), F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return votes.select(F.col(id_col), sim.alias("simhash"), "n_tok")
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
+    components) and a keep/drop decision — what a production dedup
+    actually consumes: pairs (a,b) say nothing about which of a
+    3-document chain {a-b, b-c} to keep.
+
+    Hash-min label propagation: every node starts as its own root;
+    each round takes the min root over neighbors; converges in
+    diameter(G) rounds (dup clusters are shallow — chains of
+    boilerplate variants — so max_iter=15 covers any real corpus;
+    the loop exits early on a fixpoint).  Each round is one
+    join + groupBy co-partitioned on the node id; lineage is truncated
+    with localCheckpoint so the plan stays flat across iterations —
+    the standard Spark shape for iterative graph algorithms.
+
+    Returns (doc_id, cluster_root, cluster_size, keep): keep the
+    minimum id per component, drop the rest.
+    """
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct().withColumn("root", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("root").alias("nbr_root"))
+            .withColumnRenamed("a", "id")
+        )
+        new = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("root"), F.coalesce("nbr_root", "root")).alias("root"),
+        ).localCheckpoint(eager=True)
+        n_changed = (
+            new.join(labels.withColumnRenamed("root", "_old"), "id")
+            .filter(F.col("root") != F.col("_old"))
+            .count()
+        )
+        labels = new
+        if n_changed == 0:
+            break
+    sizes = labels.groupBy("root").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "root").select(
+        F.col("id").alias("doc_id"),
+        F.col("root").alias("cluster_root"),
+        "cluster_size",
+        (F.col("id") == F.col("root")).alias("keep"),
+    )

@@ -482,3 +482,58 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return similarity.ivf_topk(emb, q, cent, k=5, n_probe=_IVF_N_PROBE)
+
+
+# ---------------------------------------------------------------------
+# Duplicate-cluster resolution: pairs -> connected components -> keep
+# set.  Oracle: DuckDB recursive CTE computes min reachable id per
+# node (exact components on the same LSH-verified pair list).
+# ---------------------------------------------------------------------
+
+_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+sh AS ({_D_SHINGLES}),
+sig AS (SELECT doc_id, {_mh_exprs} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh_hash = sa.sh_hash
+  GROUP BY c.doc_a, c.doc_b
+),
+dups AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(cast(i.n_inter AS double) / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.5
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM dups UNION SELECT doc_b, doc_a FROM dups),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+roots AS (SELECT id, min(r) AS cluster_root FROM reach GROUP BY id)
+SELECT r.id AS doc_id, r.cluster_root,
+  s.cluster_size, r.id = r.cluster_root AS keep
+FROM roots r
+JOIN (SELECT cluster_root, count(*) AS cluster_size
+      FROM roots GROUP BY cluster_root) s USING (cluster_root)
+"""
+
+
+@register("dedup_clusters", _DUP_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(d, threshold=0.5)
+    return dedup.dup_clusters(pairs)

@@ -212,3 +212,28 @@ def test_ivf_topk_probes_find_planted_neighbor(spark):
     top = similarity.ivf_topk(corpus, q, cent, k=3, n_probe=2).toPandas()
     best = top[top["rank"] == 1].iloc[0]
     assert best.vec_id == 33 and best.cosine == 1.0
+
+
+def test_dup_clusters_chain_topology(spark):
+    """A 3-doc chain {a-b, b-c} plus a separate pair {d-e} resolve to
+    two components with min-id keepers — the decision pair lists can't
+    express."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = dedup.dup_clusters(pairs).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[[1, 2, 3], "cluster_root"].tolist() == [1, 1, 1]
+    assert out.loc[[10, 11], "cluster_root"].tolist() == [10, 10]
+    assert out.loc[[1, 2, 3], "cluster_size"].tolist() == [3, 3, 3]
+    assert out["keep"].sum() == 2 and out.loc[1, "keep"] and out.loc[10, "keep"]
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 12-node path graph (diameter 11) still converges within the
+    iteration budget via min propagation + early exit."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    out = dedup.dup_clusters(pairs).toPandas()
+    assert (out["cluster_root"] == 0).all()
+    assert (out["cluster_size"] == 13).all()
