@@ -623,3 +623,63 @@ def q_expanding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.with_expanding_zscore(
         ev, "value", entity="user_id", ts="ts", order_tiebreak="event_id"
     )
+
+
+# ---------------------------------------------------------------------
+# Stratified exact-count sampling + token-budget batch packing — the
+# class-rebalancing and batch-sharding steps of a training pipeline.
+# ---------------------------------------------------------------------
+
+_STRAT_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang ORDER BY
+      ('0x' || substr(md5(concat_ws('|', cast(doc_id AS varchar), '42')), 1, 8))::BIGINT,
+      doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rk <= 50
+"""
+
+
+@register("stratified_sample", _STRAT_ORACLE)
+def q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sources.stratified_sample(d, "lang", n_per_class=50, key_cols=["doc_id"], seed=42)
+
+
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+    cast(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS bigint) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, n_tokens,
+    cast(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS bigint)
+      AS batch_start_offset
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+  cast(floor(batch_start_offset / 512.0) AS bigint) AS batch_id,
+  batch_start_offset
+FROM s
+"""
+
+
+@register("pack_token_batches", _PACK_ORACLE)
+def q_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return sources.pack_token_budget_batches(
+        t, "n_tokens", budget=512, order_cols=["doc_id"], partition_col="lang"
+    )

@@ -171,3 +171,73 @@ def weighted_sample(
     )
     p = F.least(F.col(weight_col).cast("double"), F.lit(max_weight)) * fraction
     return df.filter(u < p)
+
+
+def stratified_sample(
+    df: DataFrame,
+    class_col: str,
+    n_per_class: int,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic EXACT-COUNT per-class sampling (class rebalancing
+    for training sets): rank rows inside each class by the md5 draw of
+    their key and keep the first `n_per_class`.  Pure function of
+    (keys, seed) → identical samples at any partition count, and a
+    class with fewer rows keeps them all.  One shuffle on class_col;
+    rebalances a skewed label distribution without the replication
+    blowup of weighted oversampling (weighted_sample covers that
+    side)."""
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(class_col).orderBy(u, *[F.col(c) for c in key_cols])
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_class)
+        .drop("_rk")
+    )
+
+
+def pack_token_budget_batches(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_cols: list[str],
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Contiguous token-budget sharding (training-batch packing): rows
+    in deterministic `order_cols` order get batch_id =
+    floor(exclusive_running_token_sum / budget) — a new batch starts
+    when a row's start offset crosses a budget boundary, so every
+    batch's token sum is <= budget + max_row_tokens (classic contiguous
+    bin slack; exact greedy closing is inherently sequential and buys
+    <1 row per batch).  Optional `partition_col` packs independently
+    per partition (e.g. per language) — that is also what keeps the
+    running sum distributed at 100 TB: one entity-partitioned window,
+    no global serial scan."""
+    from pyspark.sql import Window as _W
+
+    part = [partition_col] if partition_col else []
+    w = (
+        _W.partitionBy(*part)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    cum_incl = F.sum(F.col(token_col).cast("long")).over(w)
+    start = cum_incl - F.col(token_col)
+    return df.withColumn("batch_id", F.floor(start / budget).cast("long")).withColumn(
+        "batch_start_offset", start
+    )
