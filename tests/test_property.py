@@ -103,3 +103,105 @@ def test_sliding_slices_property(spark, n, w, shift):
     assert len(got) == len(want)
     for (s, e), (_, row) in zip(want, got.iterrows()):
         assert np.allclose(np.array(row.features), np.arange(s, e, dtype=np.float64))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    ts=series_strategy(min_size=1, max_size=30),
+    n=st.integers(min_value=1, max_value=4),
+    L=st.integers(min_value=2, max_value=8),
+    r0=st.integers(min_value=0, max_value=10_000),
+    span=st.integers(min_value=1, max_value=200_000),
+    seed=st.integers(min_value=0, max_value=99),
+)
+def test_range_anchored_windows_property(spark, ts, n, L, r0, span, seed):
+    """W4 on arbitrary series/ranges == the numpy searchsorted oracle,
+    including empty-candidate and straddling-window cases."""
+    from gfwspark import sampling
+
+    pdf = pd.DataFrame(
+        {"image_id": "e0", "ts": pd.to_datetime(ts, unit="s"), "v": np.arange(len(ts), dtype=np.float64)}
+    )
+    df = spark.createDataFrame(pdf)
+    ranges = spark.createDataFrame(
+        pd.DataFrame({"range_start": [pd.Timestamp(r0, unit="s")],
+                      "range_end": [pd.Timestamp(r0 + span, unit="s")]})
+    )
+    got = (
+        sampling.range_anchored_windows(
+            df, ranges, n=n, output_length=L, seed=seed,
+            entity="image_id", ts="ts", value_col="v",
+        )
+        .toPandas().sort_values("sample_idx").reset_index(drop=True)
+    )
+    ts_us = ts * 1_000_000
+    starts = oracle.range_anchored_starts(
+        ts_us, [(r0 * 1_000_000, (r0 + span) * 1_000_000)], n, L, "e0", seed
+    )
+    assert len(got) == len(starts)
+    for i, s in enumerate(starts):
+        assert got.loc[i, "start_idx"] == s
+        assert list(got.loc[i, "features"]) == list(np.arange(len(ts), dtype=np.float64)[s : s + L])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    ts=series_strategy(min_size=1, max_size=30),
+    n=st.integers(min_value=1, max_value=3),
+    L=st.integers(min_value=2, max_value=10),
+    m=st.integers(min_value=1, max_value=5),
+    delta=st.integers(min_value=1, max_value=5_000),
+    seed=st.integers(min_value=0, max_value=99),
+)
+def test_sampled_time_windows_property(spark, ts, n, L, m, delta, seed):
+    """W3 random form on arbitrary series == the numpy oracle, including
+    the too-short / max_time < min_time empty cases and repeat-pad."""
+    from gfwspark import sampling
+
+    m = min(m, L)
+    pdf = pd.DataFrame(
+        {"image_id": "e0", "ts": pd.to_datetime(ts, unit="s"), "v": np.arange(len(ts), dtype=np.float64)}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        sampling.sampled_time_windows(
+            df, n=n, max_time_delta=delta, output_length=L,
+            min_timeslice_size=m, seed=seed,
+            entity="image_id", ts="ts", value_col="v",
+        )
+        .toPandas().sort_values("sample_idx").reset_index(drop=True)
+    )
+    slices = oracle.sampled_time_slices(ts, n, delta, L, m, "e0", seed)
+    assert len(got) == len(slices)
+    vals = np.arange(len(ts), dtype=np.float64)
+    for i, (start_time, start_idx, padded) in enumerate(slices):
+        assert got.loc[i, "start_time_s"] == start_time
+        assert got.loc[i, "start_idx"] == start_idx
+        assert list(got.loc[i, "features"]) == list(vals[padded])
+
+
+def test_samplers_partition_count_invariant(spark):
+    """North-rule determinism: identical sampler output at 1 and 32
+    input partitions."""
+    from gfwspark import sampling, tables
+
+    ev = tables.load_table(spark, "/root/testdata/sf0.001", "events")
+    ranges = spark.createDataFrame(
+        [("2024-01-05 00:00:00", "2024-01-20 00:00:00")],
+        "range_start string, range_end string",
+    ).select(F.col("range_start").cast("timestamp"), F.col("range_end").cast("timestamp"))
+
+    def norm(df):
+        return (
+            df.toPandas()
+            .sort_values(["user_id", "sample_idx"])
+            .reset_index(drop=True)
+            .astype(str)
+        )
+
+    a = norm(sampling.range_anchored_windows(ev.repartition(1), ranges, n=2, output_length=6, order_tiebreak="event_id"))
+    b = norm(sampling.range_anchored_windows(ev.repartition(32), ranges, n=2, output_length=6, order_tiebreak="event_id"))
+    pd.testing.assert_frame_equal(a, b)
+    c = norm(sampling.sampled_time_windows(ev.repartition(1), n=2, max_time_delta=86400, output_length=12, min_timeslice_size=4, order_tiebreak="event_id"))
+    d = norm(sampling.sampled_time_windows(ev.repartition(32), n=2, max_time_delta=86400, output_length=12, min_timeslice_size=4, order_tiebreak="event_id"))
+    pd.testing.assert_frame_equal(c, d)
