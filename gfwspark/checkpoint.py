@@ -9,9 +9,12 @@ layer is engine-native:
 - The job's input is bucketed into `n_buckets` deterministic entity
   buckets (crc32 of the entity key — stable across runs and cluster
   sizes, unlike spark_partition_id).
-- Each completed bucket writes `part=<i>` parquet plus a manifest JSON
-  `_manifests/bucket_<i>.json` carrying lineage (input fingerprint,
-  bucket id, row count, min/max ts, wall time, engine version).
+- Each completed bucket writes content-versioned
+  `fp=<fingerprint8>/part=<i>` parquet plus a manifest JSON
+  `_manifests/bucket_<fingerprint8>_<i>.json` carrying lineage (input
+  fingerprint, bucket id, row count, min/max ts, wall time, engine
+  version).  Versioned paths mean re-runs never overwrite a committed
+  snapshot's files (Iceberg's immutable-file contract).
 - ``run_resumable`` skips buckets whose manifest matches the current
   input fingerprint — a restart recomputes only missing buckets and the
   final table is bit-identical (determinism tests guarantee per-bucket
@@ -53,6 +56,17 @@ def input_fingerprint(df: DataFrame, entity: str, ts: str, n_buckets: int = 0) -
 
 def _manifest_dir(output_path: str) -> Path:
     return Path(output_path) / "_manifests"
+
+
+def _fp8(fingerprint: str) -> str:
+    """Short content-version tag baked into bucket paths + manifest
+    names: a re-run with different input or bucket layout writes to
+    FRESH dirs instead of overwriting, so a pinned snapshot_id keeps
+    reading exactly the files it committed (the Iceberg immutable-file
+    contract; old versions are pruned by retention, not overwritten)."""
+    import hashlib
+
+    return hashlib.md5(fingerprint.encode()).hexdigest()[:8]
 
 
 def completed_buckets(output_path: str, fingerprint: str) -> set[int]:
@@ -104,7 +118,7 @@ def run_resumable(
             continue
         t0 = time.time()
         part = transform(bucketed.filter(F.col("_bucket") == b).drop("_bucket"))
-        out_dir = f"{output_path}/part={b}"
+        out_dir = f"{output_path}/fp={_fp8(fp)}/part={b}"
         part.write.mode("overwrite").parquet(out_dir)
         # lineage stats come from the parquet just WRITTEN (one cheap
         # re-read of this bucket's files), not from re-executing the
@@ -126,7 +140,7 @@ def run_resumable(
             "engine_version": gfwspark.__version__,
             "output": out_dir,
         }
-        (mdir / f"bucket_{b}.json").write_text(json.dumps(manifest, indent=1))
+        (mdir / f"bucket_{_fp8(fp)}_{b}.json").write_text(json.dumps(manifest, indent=1))
         completed.append(b)
         if fail_after_bucket is not None and b >= fail_after_bucket:
             raise RuntimeError(f"injected failure after bucket {b}")
@@ -143,7 +157,7 @@ def _commit_snapshot(output_path: str, fingerprint: str, n_buckets: int) -> None
     mdir = _manifest_dir(output_path)
     buckets = []
     for b in range(n_buckets):
-        p = mdir / f"bucket_{b}.json"
+        p = mdir / f"bucket_{_fp8(fingerprint)}_{b}.json"
         m = json.loads(p.read_text())
         buckets.append({"bucket": b, "rows": m["rows"], "output": m["output"],
                         "wall_s": m["wall_s"]})

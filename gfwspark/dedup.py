@@ -278,14 +278,17 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     actually consumes: pairs (a,b) say nothing about which of a
     3-document chain {a-b, b-c} to keep.
 
-    Hash-min label propagation: every node starts as its own root;
-    each round takes the min root over neighbors; converges in
-    diameter(G) rounds (dup clusters are shallow — chains of
-    boilerplate variants — so max_iter=15 covers any real corpus;
-    the loop exits early on a fixpoint).  Each round is one
-    join + groupBy co-partitioned on the node id; lineage is truncated
-    with localCheckpoint so the plan stays flat across iterations —
-    the standard Spark shape for iterative graph algorithms.
+    Hash-min label propagation WITH pointer jumping: each round every
+    node takes min(own root, neighbors' roots, root-of-root).  The
+    jumping step halves the remaining depth each round, so convergence
+    is O(log(diameter)) rounds — max_iter=15 covers diameters beyond
+    2^14 — and the loop RAISES if a pathological graph still hasn't
+    converged rather than returning silently split components (a wrong
+    keep-set would re-admit duplicates downstream).  Each round is two
+    joins + a groupBy co-partitioned on the node id; lineage is
+    truncated with localCheckpoint so the plan stays flat across
+    iterations — the standard Spark shape for iterative graph
+    algorithms.
 
     Returns (doc_id, cluster_root, cluster_size, keep): keep the
     minimum id per component, drop the rest.
@@ -297,6 +300,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("root", F.col("id"))
     ).localCheckpoint(eager=True)
+    n_changed = 0
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.withColumnRenamed("id", "b"), "b")
@@ -304,10 +308,26 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
             .agg(F.min("root").alias("nbr_root"))
             .withColumnRenamed("a", "id")
         )
-        new = labels.join(nbr, "id", "left").select(
-            "id",
-            F.least(F.col("root"), F.coalesce("nbr_root", "root")).alias("root"),
-        ).localCheckpoint(eager=True)
+        # pointer jumping: my root's current root (halves depth/round)
+        jump = labels.alias("l").join(
+            labels.select(
+                F.col("id").alias("root"), F.col("root").alias("jump_root")
+            ),
+            "root",
+        ).select("id", "jump_root")
+        new = (
+            labels.join(nbr, "id", "left")
+            .join(jump, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("root"),
+                    F.coalesce("nbr_root", "root"),
+                    F.coalesce("jump_root", "root"),
+                ).alias("root"),
+            )
+            .localCheckpoint(eager=True)
+        )
         n_changed = (
             new.join(labels.withColumnRenamed("root", "_old"), "id")
             .filter(F.col("root") != F.col("_old"))
@@ -316,6 +336,11 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         labels = new
         if n_changed == 0:
             break
+    if n_changed != 0:
+        raise RuntimeError(
+            f"dup_clusters: not converged after {max_iter} rounds "
+            f"({n_changed} labels still moving) — raise max_iter"
+        )
     sizes = labels.groupBy("root").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "root").select(
         F.col("id").alias("doc_id"),

@@ -245,15 +245,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUNS_ORACLE = """
 WITH s AS (
-  SELECT user_id, ts, event_type,
-    CASE WHEN lag(event_type) OVER w IS NULL
-           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN row_number() OVER w = 1
+           OR lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 t AS (
   SELECT user_id, ts, event_type,
-    sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
   FROM s
 )
@@ -270,7 +270,8 @@ def q_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # day-splitting off: the oracle models the pure run-length form
     return sessionize.consolidate_runs(
-        ev, "event_type", entity="user_id", ts="ts", split_days=False
+        ev, "event_type", entity="user_id", ts="ts", split_days=False,
+        order_tiebreak="event_id",
     )
 
 
@@ -278,9 +279,9 @@ def q_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference's day-chunked output (objectives.py:340-380).
 _RUNS_DAYSPLIT_ORACLE = """
 WITH s AS (
-  SELECT user_id, ts, event_type,
-    CASE WHEN lag(event_type) OVER w IS NULL
-           OR lag(event_type) OVER w <> event_type
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN row_number() OVER w = 1
+           OR lag(event_type) OVER w IS DISTINCT FROM event_type
            OR date_trunc('day', lag(ts) OVER w) <> date_trunc('day', ts)
          THEN 1 ELSE 0 END AS chg
   FROM events
@@ -288,7 +289,7 @@ WITH s AS (
 ),
 t AS (
   SELECT user_id, ts, event_type,
-    sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
   FROM s
 )
@@ -304,7 +305,8 @@ def q_runs_daysplit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type"
     )
     return sessionize.consolidate_runs(
-        ev, "event_type", entity="user_id", ts="ts", split_days=True
+        ev, "event_type", entity="user_id", ts="ts", split_days=True,
+        order_tiebreak="event_id",
     )
 
 

@@ -43,12 +43,12 @@ from gfwspark.util import epoch_s
 
 
 def _md5_draw(*cols) -> F.Column:
-    """Deterministic 32-bit uniform draw: first 8 hex chars of
-    md5(entity:idx:seed).  DuckDB twin:
-    ('0x' || substr(md5(...), 1, 8))::BIGINT."""
-    return F.conv(F.substring(F.md5(F.concat_ws(":", *cols)), 1, 8), 16, 10).cast(
-        "long"
-    )
+    """Deterministic 32-bit uniform draw over (entity, idx, seed) —
+    the engine's shared cross-engine hash (text.token_hash32; DuckDB
+    twin ('0x' || substr(md5(...), 1, 8))::BIGINT)."""
+    from gfwspark.text import token_hash32
+
+    return token_hash32(F.concat_ws(":", *cols))
 
 
 def range_anchored_windows(
@@ -103,11 +103,19 @@ def range_anchored_windows(
         F.col(value_col).cast("double").alias("_val"),
         *tiebreaks,
     ).select(
-        "*", F.lit(1).alias("_side"), F.lit(None).cast("long").alias("_rkey")
+        "*", F.lit(1).alias("_side"), F.lit(None).cast("string").alias("_rkey")
     )
     ents = df.select(entity).distinct()
+    # _rkey must be a DETERMINISTIC function of the range row: it is
+    # evaluated independently in the two union branches below, and a
+    # nondeterministic id (monotonically_increasing_id) could disagree
+    # between them under exchange-reuse loss / task retry, pairing a
+    # start boundary with the wrong end.  Identical ranges sharing a
+    # key is harmless (identical candidate intervals).
     rng = ranges.select(
-        "range_start", "range_end", F.monotonically_increasing_id().alias("_rkey")
+        "range_start",
+        "range_end",
+        F.md5(F.concat_ws("|", "range_start", "range_end")).alias("_rkey"),
     )
     bnd_pairs = ents.crossJoin(F.broadcast(rng))
     bnd = bnd_pairs.select(

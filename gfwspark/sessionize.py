@@ -44,6 +44,7 @@ def consolidate_runs(
     entity: str = "image_id",
     ts: str = "ts",
     split_days: bool = True,
+    order_tiebreak: str | None = None,
 ) -> DataFrame:
     """Run-length encode consecutive equal `value_col` per entity into
     (entity, run_start, run_end, value, n_points) ranges — the
@@ -55,8 +56,13 @@ def consolidate_runs(
     for run grouping, via eqNullSafe) rather than silently merging into
     the preceding run; the representative value is min() over the run
     (homogeneous by construction, deterministic even for first-row
-    ties)."""
-    w = Window.partitionBy(entity).orderBy(ts)
+    ties).  Pass `order_tiebreak` when (entity, ts) is not unique —
+    without it duplicate timestamps make run segmentation
+    partition-order-dependent."""
+    order = [F.col(ts).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(entity).orderBy(*order)
     first_row = F.row_number().over(w) == 1
     changed = F.when(
         first_row | ~F.lag(value_col).over(w).eqNullSafe(F.col(value_col)), 1

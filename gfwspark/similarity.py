@@ -89,7 +89,11 @@ def with_lsh_bucket(
 
     `dim` is REQUIRED (take it from schema metadata / table config):
     inferring it with a `.first()` would fire a Spark job during plan
-    construction — a full-scan landmine when the corpus is a table."""
+    construction — a full-scan landmine when the corpus is a table.
+    A mismatched dim is a hard runtime error, NOT a silent fallback:
+    zip_with would null-pad, every dot would go NULL, and every vector
+    would collapse into bucket 0 — turning the bucketed join quadratic
+    with no warning."""
     planes = _hyperplanes(n_planes, dim)
     bucket = F.lit(0)
     for h, plane in enumerate(planes):
@@ -100,7 +104,18 @@ def with_lsh_bucket(
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << h)).otherwise(F.lit(0))
-    return df.withColumn("bucket", bucket.cast("int"))
+    # guard is the bucket expression's own happy path: a mismatched
+    # vector width takes the raise_error branch (cannot be pruned away)
+    checked = F.when(F.size(F.col(vec_col)) == dim, bucket.cast("int")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"with_lsh_bucket: dim={dim} but {vec_col} has "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(" components"),
+            )
+        ).cast("int")
+    )
+    return df.withColumn("bucket", checked)
 
 
 def lsh_topk(

@@ -165,10 +165,10 @@ def weighted_sample(
     partitioning, resumable, and oracle-replayable.  max_weight caps
     replication skew exactly like MAX_WEIGHT=100 (metadata.py:268-272).
     """
+    from gfwspark.text import token_hash32
+
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed)))
-    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") / F.lit(
-        float(1 << 32)
-    )
+    u = token_hash32(key).cast("double") / F.lit(float(1 << 32))
     p = F.least(F.col(weight_col).cast("double"), F.lit(max_weight)) * fraction
     return df.filter(u < p)
 
@@ -188,21 +188,13 @@ def stratified_sample(
     rebalances a skewed label distribution without the replication
     blowup of weighted oversampling (weighted_sample covers that
     side)."""
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
     from pyspark.sql import Window as _W
 
+    from gfwspark.text import token_hash32
+
+    u = token_hash32(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed)))
+    )
     w = _W.partitionBy(class_col).orderBy(u, *[F.col(c) for c in key_cols])
     return (
         df.withColumn("_rk", F.row_number().over(w))

@@ -45,9 +45,16 @@ def ensure_explode_parallelism(df: DataFrame) -> DataFrame:
     buys output-proportional parallelism — at any scale the shuffle is
     <1% of the explode's downstream work.  No-op when the input already
     has enough partitions (the 100 TB case: thousands of files)."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # classic sessions only: .rdd compiles the physical plan to read
+        # a partition count (no job).  Under Spark Connect .rdd is
+        # unavailable — skip the optimization rather than fail (the
+        # explode still computes correctly, just without the repartition).
+        target = df.sparkSession.sparkContext.defaultParallelism
+        n_in = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n_in < target:
         return df.repartition(target)
     return df
 

@@ -79,19 +79,23 @@ def test_snapshot_log_append_only(spark, tmp_path):
 
 def test_bucket_count_change_invalidates_and_isolates(spark, tmp_path):
     """Rerunning with a different n_buckets recomputes everything (the
-    bucket layout is part of the fingerprint) and read_result sees only
-    the new snapshot's buckets — leftover part dirs from the old layout
-    are not mixed in."""
+    bucket layout is part of the fingerprint) and writes to FRESH
+    fp-versioned dirs, so both the new read and a PINNED old snapshot
+    stay exactly right — nothing is overwritten in place."""
     df = tables.synthesize_image_caption(spark, n_entities=8, rows_per_entity=6)
     out = str(tmp_path / "relayout")
     checkpoint.run_resumable(df, _transform, out, n_buckets=4)
     rows_4 = checkpoint.read_result(spark, out).count()
+    paths_4 = {b["output"] for b in checkpoint.read_snapshot(out, 1)["buckets"]}
 
     summary = checkpoint.run_resumable(df, _transform, out, n_buckets=2)
     assert summary["skipped"] == []  # layout changed → no stale skips
     snap = checkpoint.read_snapshot(out)
     assert len(snap["buckets"]) == 2
-    # old part=2, part=3 dirs still exist on disk, but the read is
-    # snapshot-scoped: identical row count, no duplication
-    assert (tmp_path / "relayout" / "part=3").exists()
+    # the two layouts live in disjoint content-versioned dirs
+    paths_2 = {b["output"] for b in snap["buckets"]}
+    assert paths_4.isdisjoint(paths_2)
+    # latest read: no duplication/mixing
     assert checkpoint.read_result(spark, out).count() == rows_4
+    # pinned read of the OLD snapshot is still byte-consistent
+    assert checkpoint.read_result(spark, out, snapshot_id=1).count() == rows_4

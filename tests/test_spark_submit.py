@@ -55,6 +55,8 @@ def test_spark_submit_py_files_job(spark, tmp_path):
     snap = json.loads((Path(out_path) / "_manifests" / "snapshots.json").read_text())
     assert snap[-1]["total_rows"] > 0
 
-    result = spark.read.parquet(f"{out_path}/part=*")
+    from gfwspark import checkpoint
+
+    result = checkpoint.read_result(spark, out_path)
     assert result.count() == snap[-1]["total_rows"]
     assert "asof_label" in result.columns
