@@ -99,3 +99,28 @@ def assert_sorted_within_entities(df: DataFrame, entity: str = "image_id", ts: s
         .filter(F.col("_prev") > F.col(ts))
         .count()
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write a bucketed (+ optionally sorted) table — the CO-LOCATED
+    join layout: two tables bucketed by the same key into the same
+    bucket count join WITHOUT any Exchange (each bucket file pair is a
+    local sort-merge), which at 100 TB removes the single biggest cost
+    of the fact-to-fact join.  Bucket pruning also serves point lookups.
+
+    Spark's bucketing rides the session catalog (saveAsTable);
+    `spark.sql.sources.bucketing.enabled` is on by default, and the
+    within-bucket sortBy means an as-of/merge join reads pre-sorted
+    runs (the at-rest twin of partition_sorted)."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -66,3 +66,30 @@ def test_salt_is_deterministic(spark):
     a = a.sort_values(["image_id", "ts"]).reset_index(drop=True)
     b = b.sort_values(["image_id", "ts"]).reset_index(drop=True)
     assert (a["salt"].to_numpy() == b["salt"].to_numpy()).all()
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed by the same key/count join with ZERO
+    Exchange — the co-located layout the engine prescribes for
+    fact-to-fact joins at scale."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from gfwspark import layout, tables
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ev = tables.load_table(spark, "/root/testdata/sf0.001", "events")
+        a = ev.select("user_id", "ts", "value")
+        b = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        layout.write_bucketed(a, "bk_facts", ["user_id"], 8, sort_cols=["user_id", "ts"])
+        layout.write_bucketed(b, "bk_dim", ["user_id"], 8)
+        joined = spark.table("bk_facts").join(spark.table("bk_dim"), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert joined.count() == a.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_facts")
+        spark.sql("DROP TABLE IF EXISTS bk_dim")
