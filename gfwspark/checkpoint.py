@@ -10,8 +10,8 @@ layer is engine-native:
   buckets (crc32 of the entity key — stable across runs and cluster
   sizes, unlike spark_partition_id).
 - Each completed bucket writes content-versioned
-  `fp=<fingerprint8>/part=<i>` parquet plus a manifest JSON
-  `_manifests/bucket_<fingerprint8>_<i>.json` carrying lineage (input
+  `fp=<fingerprint-md5>/part=<i>` parquet plus a manifest JSON
+  `_manifests/bucket_<fingerprint-md5>_<i>.json` carrying lineage (input
   fingerprint, bucket id, row count, min/max ts, wall time, engine
   version).  Versioned paths mean re-runs never overwrite a committed
   snapshot's files (Iceberg's immutable-file contract).
@@ -58,15 +58,17 @@ def _manifest_dir(output_path: str) -> Path:
     return Path(output_path) / "_manifests"
 
 
-def _fp8(fingerprint: str) -> str:
-    """Short content-version tag baked into bucket paths + manifest
-    names: a re-run with different input or bucket layout writes to
-    FRESH dirs instead of overwriting, so a pinned snapshot_id keeps
-    reading exactly the files it committed (the Iceberg immutable-file
-    contract; old versions are pruned by retention, not overwritten)."""
+def _fp_tag(fingerprint: str) -> str:
+    """Content-version tag baked into bucket paths + manifest names: a
+    re-run with different input or bucket layout writes to FRESH dirs
+    instead of overwriting, so a pinned snapshot_id keeps reading
+    exactly the files it committed (the Iceberg immutable-file
+    contract; old versions are pruned by retention, not overwritten).
+    Full md5 digest — a truncated tag's collision would silently
+    overwrite a committed snapshot's files."""
     import hashlib
 
-    return hashlib.md5(fingerprint.encode()).hexdigest()[:8]
+    return hashlib.md5(fingerprint.encode()).hexdigest()
 
 
 def completed_buckets(output_path: str, fingerprint: str) -> set[int]:
@@ -74,7 +76,11 @@ def completed_buckets(output_path: str, fingerprint: str) -> set[int]:
     mdir = _manifest_dir(output_path)
     if not mdir.exists():
         return done
-    for p in mdir.glob("bucket_*.json"):
+    # match only the CURRENT naming scheme: a legacy bucket_<i>.json
+    # from an older layout could carry the same fingerprint but its
+    # files live at unversioned paths _commit_snapshot no longer reads
+    # -> skipping from it would make the commit step crash.
+    for p in mdir.glob(f"bucket_{_fp_tag(fingerprint)}_*.json"):
         try:
             m = json.loads(p.read_text())
         except json.JSONDecodeError:
@@ -118,7 +124,7 @@ def run_resumable(
             continue
         t0 = time.time()
         part = transform(bucketed.filter(F.col("_bucket") == b).drop("_bucket"))
-        out_dir = f"{output_path}/fp={_fp8(fp)}/part={b}"
+        out_dir = f"{output_path}/fp={_fp_tag(fp)}/part={b}"
         part.write.mode("overwrite").parquet(out_dir)
         # lineage stats come from the parquet just WRITTEN (one cheap
         # re-read of this bucket's files), not from re-executing the
@@ -140,7 +146,7 @@ def run_resumable(
             "engine_version": gfwspark.__version__,
             "output": out_dir,
         }
-        (mdir / f"bucket_{_fp8(fp)}_{b}.json").write_text(json.dumps(manifest, indent=1))
+        (mdir / f"bucket_{_fp_tag(fp)}_{b}.json").write_text(json.dumps(manifest, indent=1))
         completed.append(b)
         if fail_after_bucket is not None and b >= fail_after_bucket:
             raise RuntimeError(f"injected failure after bucket {b}")
@@ -157,7 +163,7 @@ def _commit_snapshot(output_path: str, fingerprint: str, n_buckets: int) -> None
     mdir = _manifest_dir(output_path)
     buckets = []
     for b in range(n_buckets):
-        p = mdir / f"bucket_{_fp8(fingerprint)}_{b}.json"
+        p = mdir / f"bucket_{_fp_tag(fingerprint)}_{b}.json"
         m = json.loads(p.read_text())
         buckets.append({"bucket": b, "rows": m["rows"], "output": m["output"],
                         "wall_s": m["wall_s"]})

@@ -325,15 +325,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
                     F.coalesce("nbr_root", "root"),
                     F.coalesce("jump_root", "root"),
                 ).alias("root"),
+                F.col("root").alias("_old"),
             )
             .localCheckpoint(eager=True)
         )
-        n_changed = (
-            new.join(labels.withColumnRenamed("root", "_old"), "id")
-            .filter(F.col("root") != F.col("_old"))
-            .count()
-        )
-        labels = new
+        # change detection off the already-checkpointed frame: a cheap
+        # filter+count, not a second full join over all nodes
+        n_changed = new.filter(F.col("root") != F.col("_old")).count()
+        labels = new.drop("_old")
         if n_changed == 0:
             break
     if n_changed != 0:

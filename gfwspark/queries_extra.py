@@ -672,13 +672,12 @@ FROM s
 @register("pack_token_batches", _PACK_ORACLE)
 def q_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load_table(spark, sf_dir, "documents")
+    from gfwspark.text import tokens_col
+
     t = d.select(
         "doc_id",
         "lang",
-        F.when(F.length(F.trim("text")) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
-        .cast("long")
-        .alias("n_tokens"),
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
     )
     return sources.pack_token_budget_batches(
         t, "n_tokens", budget=512, order_cols=["doc_id"], partition_col="lang"

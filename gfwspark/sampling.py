@@ -115,7 +115,15 @@ def range_anchored_windows(
     rng = ranges.select(
         "range_start",
         "range_end",
-        F.md5(F.concat_ws("|", "range_start", "range_end")).alias("_rkey"),
+        # null-safe key: concat_ws silently DROPS nulls, which would
+        # collapse (NULL, x) and (x, NULL) into one key
+        F.md5(
+            F.concat(
+                F.coalesce(F.col("range_start").cast("string"), F.lit("<null>")),
+                F.lit("|"),
+                F.coalesce(F.col("range_end").cast("string"), F.lit("<null>")),
+            )
+        ).alias("_rkey"),
     )
     bnd_pairs = ents.crossJoin(F.broadcast(rng))
     bnd = bnd_pairs.select(
