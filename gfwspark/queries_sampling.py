@@ -207,3 +207,64 @@ def q_sampled_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.ts_s").alias("ts_s"),
         F.col("e.v").alias("feature"),
     )
+
+
+# ---------------------------------------------------------------------
+# Inference-time per-range window extraction
+# (np_array_extract_slices_for_time_ranges, feature_utilities.py:296-345;
+# drives the monthly scoring grid of run_inference.py:50-73)
+# ---------------------------------------------------------------------
+
+_RFW_W, _RFW_MIN = 24, 5
+_RFW_RANGES = [
+    ("2024-01-03 00:00:00", "2024-01-10 00:00:00"),   # typically > W points
+    ("2024-01-20 00:00:00", "2024-01-20 06:00:00"),   # often < min_points
+    ("2034-01-01 00:00:00", "2034-02-01 00:00:00"),   # empty -> dropped
+]
+_RFW_VALUES = ", ".join(
+    f"(timestamp '{a}', timestamp '{b}')" for a, b in _RFW_RANGES
+)
+
+_RFW_ORACLE = f"""
+WITH rngs(rs, re) AS (VALUES {_RFW_VALUES}),
+rows_ AS (
+  SELECT e.user_id, e.ts, e.value, r.rs, r.re,
+    row_number() OVER (PARTITION BY e.user_id, r.rs, r.re
+                       ORDER BY e.ts, e.event_id) - 1 AS idx
+  FROM events e JOIN rngs r ON e.ts >= r.rs AND e.ts < r.re
+),
+meta AS (
+  SELECT user_id, rs, re, count(*) AS n,
+    greatest(0, count(*) - {_RFW_W}) AS off,
+    least(count(*), {_RFW_W}) AS c
+  FROM rows_ GROUP BY user_id, rs, re
+  HAVING count(*) >= {_RFW_MIN}
+),
+posg AS (
+  SELECT *, unnest(generate_series(0, {_RFW_W - 1})) AS pos FROM meta
+)
+SELECT p.user_id, p.rs AS range_start, p.re AS range_end,
+  p.n AS n_in_range, cast(p.pos AS int) AS pos,
+  cast(floor(epoch(r.ts)) AS bigint) AS ts_s, r.value AS feature
+FROM posg p
+JOIN rows_ r ON r.user_id = p.user_id AND r.rs = p.rs AND r.re = p.re
+  AND r.idx = p.off + (p.pos % p.c)
+"""
+
+
+@register("range_feature_windows", _RFW_ORACLE)
+def q_range_feature_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events")
+    ranges = spark.createDataFrame(
+        _RFW_RANGES, "range_start string, range_end string"
+    ).select(
+        F.col("range_start").cast("timestamp"), F.col("range_end").cast("timestamp")
+    )
+    w = sampling.range_feature_windows(
+        ev, ranges, window_size=_RFW_W, min_points=_RFW_MIN,
+        order_tiebreak="event_id",
+    )
+    return w.select(
+        "user_id", "range_start", "range_end", "n_in_range",
+        F.col("pos").cast("int").alias("pos"), "ts_s", "feature",
+    )

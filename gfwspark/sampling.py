@@ -347,3 +347,90 @@ def sampled_time_windows(
             F.expr("_w[size(_w) - 1]._s").alias("win_end_s"),
         )
     )
+
+
+def range_feature_windows(
+    df: DataFrame,
+    ranges: DataFrame,
+    window_size: int,
+    min_points: int,
+    entity: str = "user_id",
+    ts: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Inference-time per-range window extraction
+    (np_array_extract_slices_for_time_ranges, reference
+    feature_utilities.py:296-345 — the slicer feeding the monthly
+    scoring windows of run_inference.py:50-73).
+
+    Per (entity, range): rows with range_start <= ts < range_end
+    (searchsorted LEFT on both bounds); ranges with fewer than
+    `min_points` rows emit nothing; longer slices keep the LAST
+    window_size points — note the reference computes a random
+    start_offset but then slices with max_offset (a dead variable,
+    feature_utilities.py:337-339), so its actual behavior IS the
+    deterministic last-window, which we reproduce; short slices
+    repeat-pad (out[k] = slice[k % len]).
+
+    Spark-first: broadcast coverage join (rows replicate only into the
+    ranges that contain them), one shuffle on (entity, range) for the
+    within-range rank, modulo join for the pad — no Python.  Exploded
+    output: (entity, range_start, range_end, n_in_range, pos, ts_s,
+    feature).
+    """
+    W = window_size
+    keys = ["_ts"] + ([order_tiebreak] if order_tiebreak else [])
+    rng = ranges.select(
+        F.col("range_start").alias("_rs"), F.col("range_end").alias("_re")
+    )
+    rows = (
+        df.select(
+            entity,
+            F.col(ts).alias("_ts"),
+            F.col(value_col).cast("double").alias("_val"),
+            *([order_tiebreak] if order_tiebreak else []),
+        )
+        .join(
+            F.broadcast(rng),
+            (F.col("_ts") >= F.col("_rs")) & (F.col("_ts") < F.col("_re")),
+        )
+        .withColumn(
+            "_idx",
+            F.row_number().over(
+                Window.partitionBy(entity, "_rs", "_re").orderBy(
+                    *[F.col(k).asc() for k in keys]
+                )
+            )
+            - 1,
+        )
+    )
+    meta = (
+        rows.groupBy(entity, "_rs", "_re")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_points)
+        .select(
+            entity,
+            "_rs",
+            "_re",
+            "_n",
+            F.greatest(F.lit(0), F.col("_n") - W).alias("_off"),
+            F.least(F.col("_n"), F.lit(W)).alias("_c"),
+        )
+    )
+    posg = meta.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(W - 1))).alias("pos")
+    )
+    out = posg.join(
+        rows.select(entity, "_rs", "_re", "_idx", "_ts", "_val"),
+        [entity, "_rs", "_re"],
+    ).filter(F.col("_idx") == F.col("_off") + (F.col("pos") % F.col("_c")))
+    return out.select(
+        entity,
+        F.col("_rs").alias("range_start"),
+        F.col("_re").alias("range_end"),
+        F.col("_n").alias("n_in_range"),
+        "pos",
+        epoch_s("_ts").alias("ts_s"),
+        F.col("_val").alias("feature"),
+    )

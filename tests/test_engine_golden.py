@@ -504,3 +504,40 @@ def test_asof_broadcast_guard_and_dtypes(spark):
     )
     assert pd.isna(out["asof_label"].iloc[0])           # before first ann -> NULL
     assert out["asof_label"].iloc[1] == (2**62) + 7     # int64 exact, no float64 round-trip
+
+
+def test_range_feature_windows_semantics(spark):
+    """Inference slicer (np_array_extract_slices_for_time_ranges):
+    end-EXCLUSIVE slicing, last-window cap for long slices (the
+    reference's dead start_offset makes its actual behavior the
+    deterministic last window), repeat-pad for short ones, min_points
+    drop."""
+    from gfwspark import sampling
+
+    base = pd.Timestamp("2024-01-01")
+    h = lambda k: (base + pd.Timedelta(hours=k)).to_pydatetime()  # noqa: E731
+    rows = [("A", h(k), float(k)) for k in range(10)]
+    # B: only 2 points in range -> dropped at min_points=3
+    rows += [("B", h(k), 100.0 + k) for k in range(2)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    ranges = spark.createDataFrame(
+        [(h(2), h(8))], "range_start timestamp, range_end timestamp"
+    )
+    out = (
+        sampling.range_feature_windows(df, ranges, window_size=4, min_points=3)
+        .toPandas().sort_values(["user_id", "pos"]).reset_index(drop=True)
+    )
+    assert set(out.user_id) == {"A"}          # B dropped (< min_points)
+    # rows in [2h, 8h) = values 2..7 (end-exclusive); last 4 = 4,5,6,7
+    assert out[out.user_id == "A"]["feature"].tolist() == [4.0, 5.0, 6.0, 7.0]
+    assert (out["n_in_range"] == 6).all()
+
+    # short slice repeat-pads: narrow the range to 3 points
+    ranges2 = spark.createDataFrame(
+        [(h(2), h(5))], "range_start timestamp, range_end timestamp"
+    )
+    out2 = (
+        sampling.range_feature_windows(df, ranges2, window_size=4, min_points=3)
+        .toPandas().sort_values(["user_id", "pos"]).reset_index(drop=True)
+    )
+    assert out2[out2.user_id == "A"]["feature"].tolist() == [2.0, 3.0, 4.0, 2.0]
