@@ -682,3 +682,70 @@ def q_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sources.pack_token_budget_batches(
         t, "n_tokens", budget=512, order_cols=["doc_id"], partition_col="lang"
     )
+
+
+# ---------------------------------------------------------------------
+# W1 materialized form: every full window stepping back from the series
+# end by `shift`, exploded to one row per window position (the
+# np_array_extract_all_fixed_slices payload, feature_utilities.py:350-368)
+# ---------------------------------------------------------------------
+
+_SFW_W, _SFW_SHIFT = 12, 4
+
+_SFW_ORACLE = f"""
+WITH f AS (
+  SELECT user_id, ts, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+anchors AS (
+  SELECT user_id, rn AS end_rn, ts AS win_end_ts
+  FROM f
+  WHERE (n - rn) % {_SFW_SHIFT} = 0 AND rn >= {_SFW_W}
+),
+posg AS (
+  SELECT *, unnest(generate_series(0, {_SFW_W - 1})) AS pos FROM anchors
+),
+joined AS (
+  SELECT p.user_id, p.win_end_ts, p.pos, f.ts, f.value
+  FROM posg p
+  JOIN f ON f.user_id = p.user_id AND f.rn = p.end_rn - {_SFW_W} + 1 + p.pos
+)
+SELECT user_id, win_end_ts,
+  min(ts) OVER (PARTITION BY user_id, win_end_ts) AS win_start_ts,
+  cast({_SFW_W} AS int) AS n_points,
+  cast(pos AS int) AS pos, value AS feature
+FROM joined
+"""
+
+
+@register("sliding_feature_windows", _SFW_ORACLE)
+def q_sliding_feature_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events")
+    # exercise the ENGINE operator (windows.sliding_feature_windows),
+    # exploded to scalar rows for the driver hash; the events table has
+    # unique per-user ts so the operator's ts-only ordering is
+    # deterministic here
+    w = windows.sliding_feature_windows(
+        ev.select("user_id", "ts", "value"),
+        "value",
+        window_size=_SFW_W,
+        shift=_SFW_SHIFT,
+        entity="user_id",
+        ts="ts",
+    )
+    return w.select(
+        "user_id",
+        "win_end_ts",
+        "win_start_ts",
+        F.col("n_points").cast("int").alias("n_points"),
+        F.posexplode("features").alias("pos", "feature"),
+    ).select(
+        "user_id",
+        "win_end_ts",
+        "win_start_ts",
+        "n_points",
+        F.col("pos").cast("int").alias("pos"),
+        "feature",
+    )
