@@ -205,3 +205,35 @@ def test_samplers_partition_count_invariant(spark):
     c = norm(sampling.sampled_time_windows(ev.repartition(1), n=2, max_time_delta=86400, output_length=12, min_timeslice_size=4, order_tiebreak="event_id"))
     d = norm(sampling.sampled_time_windows(ev.repartition(32), n=2, max_time_delta=86400, output_length=12, min_timeslice_size=4, order_tiebreak="event_id"))
     pd.testing.assert_frame_equal(c, d)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=40,
+    ).filter(lambda es: any(a != b for a, b in es)),
+)
+def test_dup_clusters_property(spark, edges):
+    """Connected components on arbitrary random graphs == a plain
+    union-find oracle (roots = min id per component)."""
+    from gfwspark import dedup
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = dedup.dup_clusters(df).toPandas().set_index("doc_id")["cluster_root"]
+
+    # union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert dict(got) == want
