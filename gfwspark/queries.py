@@ -39,12 +39,89 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# ---------------------------------------------------------------------
+# Driver gate ordering.
+#
+# The round driver verifies the FIRST 50 entries of all_queries() in
+# iteration order (CORRECTNESS_r{N}.json).  Rounds 1-2 gated the first
+# 50 registrations; the 22 queries registered after them (the W3/W4
+# samplers, window extractors, chunked kernel, asof broadcast, the
+# zscore/percentile family, stratified sampling, batch packing) only
+# had local parity evidence.  _DRIVER_PRIORITY rotates those 22 to the
+# front of the window for round 3; everything else follows in original
+# registration order (the rotated-out queries keep their r1/r2 driver
+# rows plus the local dtype-strict gate in tests/test_oracle_parity.py).
+# ---------------------------------------------------------------------
+
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # never driver-gated before round 3 (registered past the first-50 window)
+    "range_anchored_windows",
+    "sampled_time_windows",
+    "range_feature_windows",
+    "sliding_feature_windows",
+    "aligned_windows",
+    "repeat_pad_windows",
+    "repeat_pad_roll",
+    "chunked_time_range",
+    "time_range_window",
+    "asof_join_broadcast",
+    "expanding_zscore",
+    "per_entity_zscore",
+    "percentiles",
+    "finiteness_filter",
+    "log_weighted_mean",
+    "salted_two_phase_agg",
+    "stratified_sample",
+    "pack_token_batches",
+    "multilabel_explode",
+    "argmax_array",
+    "score_rescale_softmax",
+    "stable_hash_ids",
+    # headline / flagship set kept inside the window every round
+    "flagship_featurize",
+    "asof_join_union",
+    "asof_join_cogroup",
+    "sliding_windows",
+    "sessionize",
+    "consolidate_runs",
+    "consolidate_runs_daysplit",
+    "lag_lead",
+    "tumbling_daily",
+    "month_grid_windows",
+    "minute_grid_agreement",
+    "ffill_backfill",
+    "weighted_sample",
+    "entity_minmax_agg",
+    "topk_per_group",
+    "dedup_priority",
+    "equi_join_broadcast",
+    "semi_anti_join",
+    "overlap_theta_join",
+    "hash_split",
+    "dedup_exact",
+    "dedup_clusters",
+    "minhash_lsh_dups",
+    "ngram_jaccard_dups",
+    "ann_ivf_topk",
+    "train_info_cte",
+    "class_weights",
+    "token_explode_count",
+    "doc_stats",
+)
+
+
+def _ordered(mapping: dict) -> dict:
+    front = {k: mapping[k] for k in _DRIVER_PRIORITY if k in mapping}
+    rest = {k: v for k, v in mapping.items() if k not in front}
+    return {**front, **rest}
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 # ---------------------------------------------------------------------
