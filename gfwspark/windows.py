@@ -95,10 +95,24 @@ def with_window_bounds(
 # ------------------------------------------------------------------
 # Materialized sliding windows (reference W1: one output row per
 # window position, stride `shift`, each carrying the window's feature
-# vector).  Spark-native: collect_list over the backward frame +
-# row_number stride filter.  Emits windows anchored at the series END
-# stepping back by `shift`, exactly like
-# np_array_extract_all_fixed_slices (feature_utilities.py:350-368).
+# vector).  Emits windows anchored at the series END stepping back by
+# `shift`, exactly like np_array_extract_all_fixed_slices
+# (feature_utilities.py:350-368).
+#
+# Plan shape (scale-critical): the naive form — collect_list over a
+# rowsBetween(-(W-1), 0) frame, THEN the stride filter — materializes
+# a W-element array for EVERY input row and throws away
+# (shift-1)/shift of them.  At the reference's vessel-char geometry
+# (W=12800, shift=767) that is ~12,800x row amplification, 99.87%
+# discarded.  Instead each input row computes, in closed form, the
+# set of stride anchors whose window covers it (at most
+# ceil(W/shift) of them), explodes into those anchors, and a
+# groupBy(entity, anchor) rebuilds each window once.  Row
+# amplification is exactly W/shift — the information-theoretic
+# minimum for materialized overlapping windows — and the groupBy
+# reuses the entity hash-partitioning from the row_number stage
+# (HashPartitioning(entity) satisfies ClusteredDistribution(entity,
+# anchor)), so the whole operator is a single exchange.
 # ------------------------------------------------------------------
 
 def sliding_feature_windows(
@@ -117,28 +131,72 @@ def sliding_feature_windows(
     anchor rule: row i (1-based from series start, length n) hosts a
     window iff (n - i) % shift == 0 and i >= window_size — the same
     index set as the reference's  `range(end, start, -shift)` walk.
+
+    Row rn is covered by anchor a iff a-W+1 <= rn <= a; anchors are
+    a = n - j*shift, so the covering j-range is
+    j_lo = max(0, ceil((n - rn - (W-1)) / shift)),
+    j_hi = floor((n - max(rn, W)) / shift).
+    (Division in double is exact here: |operands| < 2^31.)
     """
-    w_order = Window.partitionBy(entity).orderBy(ts)
-    w_frame = w_order.rowsBetween(-(window_size - 1), 0)
-    n_total = Window.partitionBy(entity)
-    out = (
-        df.withColumn("_rn", F.row_number().over(w_order))
-        .withColumn("_n", F.count(F.lit(1)).over(n_total))
-        .withColumn("_feat", F.collect_list(feature_col).over(w_frame))
-        .withColumn("_wstart", F.min(ts).over(w_frame))
-        .filter(
-            ((F.col("_n") - F.col("_rn")) % shift == 0)
-            & (F.col("_rn") >= window_size)
-        )
+    W, S = window_size, shift
+    w_order = Window.partitionBy(entity).orderBy("_ts")
+    rows = df.select(
+        F.col(entity),
+        F.col(ts).alias("_ts"),
+        F.col(feature_col).alias("_val"),
+    ).select(
+        "*",
+        F.row_number().over(w_order).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(entity)).alias("_n"),
     )
     if min_points is not None:
-        out = out.filter(F.col("_n") >= min_points)
-    return out.select(
-        F.col(entity),
-        F.col(ts).alias("win_end_ts"),
-        F.col("_wstart").alias("win_start_ts"),
-        F.size("_feat").alias("n_points"),
-        F.col("_feat").alias("features"),
+        rows = rows.filter(F.col("_n") >= min_points)
+    j_hi = F.floor((F.col("_n") - F.greatest(F.col("_rn"), F.lit(W))) / S)
+    j_lo = F.greatest(
+        F.lit(0).cast("long"),
+        -F.floor((F.col("_rn") + F.lit(W - 1) - F.col("_n")) / S),
+    )
+    exploded = (
+        rows.select(
+            entity,
+            "_ts",
+            "_val",
+            "_rn",
+            "_n",
+            j_lo.alias("_jlo"),
+            j_hi.alias("_jhi"),
+        )
+        .filter(F.col("_jhi") >= F.col("_jlo"))
+        .select(
+            entity,
+            "_ts",
+            "_val",
+            "_rn",
+            "_n",
+            F.explode(F.sequence("_jlo", "_jhi")).alias("_j"),
+        )
+        .select(
+            entity,
+            "_ts",
+            "_val",
+            "_rn",
+            (F.col("_n") - F.col("_j") * S).alias("_arn"),
+        )
+    )
+    return (
+        exploded.groupBy(entity, "_arn")
+        .agg(
+            F.max("_ts").alias("win_end_ts"),
+            F.min("_ts").alias("win_start_ts"),
+            F.sort_array(F.collect_list(F.struct("_rn", "_val"))).alias("_w"),
+        )
+        .select(
+            F.col(entity),
+            "win_end_ts",
+            "win_start_ts",
+            F.size("_w").alias("n_points"),
+            F.expr("transform(_w, x -> x._val)").alias("features"),
+        )
     )
 
 

@@ -91,3 +91,29 @@ def test_samplers_stay_jvm_side(spark):
         assert "FlatMapGroupsInPandas" not in plan, name
     w4 = _plan(queries.all_queries()["range_anchored_windows"](spark, SF_MED))
     assert "BroadcastNestedLoopJoin" in w4 or "BroadcastHashJoin" in w4
+
+
+def test_sliding_feature_windows_no_prestride_materialization(spark):
+    """W1m scale invariant: the materialized sliding-window extractor
+    must NOT build a W-element array per input row and then discard
+    (shift-1)/shift of them (fatal at the reference geometry W=12800,
+    shift=767).  The scalable plan explodes each row into only the
+    anchors that cover it (fan-out <= ceil(W/shift)) and rebuilds each
+    window once in a groupBy — so collect_list may appear only inside
+    an Aggregate, never inside a Window node, and the whole operator
+    is a single exchange (the groupBy on (entity, anchor) reuses the
+    entity hashpartitioning)."""
+    from gfwspark import tables as t, windows as w
+
+    ev = t.load_table(spark, SF_MED, "events").select("user_id", "ts", "value")
+    df = w.sliding_feature_windows(
+        ev, "value", window_size=12, shift=4, entity="user_id", ts="ts"
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "collect_list" not in line, "pre-stride materialization"
+    # row-count sanity: output rows = number of stride anchors, and the
+    # exploded intermediate is bounded by ceil(W/shift) * n_input
+    assert "Generate explode" in plan
