@@ -120,20 +120,50 @@ def sliding_mean(x: np.ndarray, window_size: int) -> np.ndarray:
 
 
 def aligned_windows_np(
-    mat: "np.ndarray", window_size: int, shift: int
+    ts: "np.ndarray",
+    mat: "np.ndarray",
+    window_size: int,
+    shift: int,
+    start=None,
+    end=None,
+    win_start: int = 0,
 ) -> list["np.ndarray"]:
-    """Reference semantics for windows.aligned_windows: head-pad with
-    the first row until len == window_size + k*shift, then step by
-    shift."""
+    """Reference-exact semantics of process_fixed_window_features
+    (feature_utilities.py:372-460), independently re-derived in numpy
+    as the oracle for windows.aligned_windows.
+
+    Index arithmetic per the reference: win_end = win_start+shift+1,
+    pad_end = window_size - win_end, pad_start = win_start; end_i =
+    searchsorted(ts, end, 'right') + pad_end; start_i =
+    searchsorted(ts, start, 'left') - pad_start, decremented to
+    alignment; series tail-padded with mat[-1] when data runs out
+    before end_i; when start_i < 0 the head-pad replicas of mat[0]
+    are APPENDED AT THE TAIL (the reference's own quirk at
+    feature_utilities.py:452), not prepended."""
     n = len(mat)
     if n == 0:
         return []
-    if n <= window_size:
-        pad = window_size - n
+    win_end = win_start + shift + 1
+    assert win_end <= window_size
+    pad_end, pad_start = window_size - win_end, win_start
+    raw_end_i = int(np.searchsorted(ts, end, side="right")) if end is not None else n
+    n_pad_end = max(pad_end - (n - raw_end_i), 0)
+    end_i = raw_end_i + pad_end
+    raw_start_i = (
+        int(np.searchsorted(ts, start, side="left")) if start is not None else 0
+    )
+    start_i = raw_start_i - pad_start
+    if start_i >= n or end_i < 1:
+        return []
+    start_i -= (window_size + start_i - end_i) % shift
+    if n_pad_end > 0:
+        mat = np.concatenate([mat, np.repeat(mat[-1:], n_pad_end, axis=0)], axis=0)
     else:
-        pad = (-(n - window_size)) % shift
-    if pad:
-        mat = np.concatenate([np.repeat(mat[:1], pad, axis=0), mat], axis=0)
+        mat = mat[:end_i]
+    if start_i < 0:
+        mat = np.concatenate([mat, np.repeat(mat[:1], -start_i, axis=0)], axis=0)
+    else:
+        mat = mat[start_i:]
     return [
         mat[s : s + window_size]
         for s in range(0, len(mat) - window_size + 1, shift)

@@ -223,35 +223,59 @@ def q_repeat_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ALIGNED_START, _ALIGNED_END = "2024-01-05 00:00:00", "2024-01-25 00:00:00"
+# W2 geometry for the gate: window=(2, 7) -> shift 4, pad_start 2,
+# pad_end 9 (process_fixed_window_features with window=(b,e),
+# fishing_feature_generation.py:106-110).  END sits half a day before
+# the data's max ts so some entities tail-pad with features[-1]
+# replicas (n_pad_end > 0) and others don't; START five days in so
+# entities with < 2 earlier rows take the start_i < 0 branch and
+# exercise the reference's head-pad-appended-at-tail quirk.
+_ALIGNED_START, _ALIGNED_END = "2024-01-05 00:00:00", "2024-01-29 12:00:00"
+_AW_W, _AW_S, _AW_B = 16, 4, 2  # window_size, shift, win_start
+_AW_PE, _AW_PS = _AW_W - (_AW_B + _AW_S + 1), _AW_B  # pad_end, pad_start
 
 _ALIGNED_ORACLE = f"""
 WITH img AS ({_DUCK_IMG_X}),
-sel AS (
+f AS (
   SELECT image_id, ts, cast(phash AS double) AS phash, cast(w AS double) AS wd,
-    row_number() OVER (PARTITION BY image_id ORDER BY ts) - 1 AS rn,
-    count(*) OVER (PARTITION BY image_id) AS n
+    row_number() OVER (PARTITION BY image_id ORDER BY ts) - 1 AS rn
   FROM img
-  WHERE ts >= timestamp '{_ALIGNED_START}' AND ts <= timestamp '{_ALIGNED_END}'
 ),
-meta AS (
-  SELECT image_id, max(n) AS n,
-    CASE WHEN max(n) <= 16 THEN 16 - max(n)
-         ELSE ((16 - max(n)) % 4 + 4) % 4 END AS pad
-  FROM sel GROUP BY image_id
+m0 AS (
+  SELECT image_id, cast(count(*) AS bigint) AS n,
+    cast(sum(CASE WHEN ts <= timestamp '{_ALIGNED_END}' THEN 1 ELSE 0 END) AS bigint) AS rei,
+    cast(sum(CASE WHEN ts < timestamp '{_ALIGNED_START}' THEN 1 ELSE 0 END) AS bigint) AS rsi
+  FROM f GROUP BY image_id
+),
+m1 AS (
+  SELECT image_id, n, rei + {_AW_PE} AS end_i, rsi - {_AW_PS} AS si0
+  FROM m0 WHERE rsi - {_AW_PS} < n AND rei + {_AW_PE} >= 1
+),
+m2 AS (
+  SELECT *, si0 - ((({_AW_W} + si0 - end_i) % {_AW_S} + {_AW_S}) % {_AW_S}) AS start_i
+  FROM m1
+),
+m3 AS (
+  SELECT *, end_i - start_i AS L,
+    cast(least(end_i, n) - greatest(start_i, 0) AS int) AS n_real_points,
+    cast((end_i - start_i) - (least(end_i, n) - greatest(start_i, 0)) AS int) AS n_pad
+  FROM m2 WHERE end_i - start_i >= {_AW_W}
 ),
 wins AS (
-  SELECT image_id, n, pad,
-    unnest(generate_series(0, (n + pad - 16) // 4)) AS win_idx
-  FROM meta
+  SELECT *, unnest(generate_series(0, (L - {_AW_W}) // {_AW_S})) AS win_idx FROM m3
 ),
-posg AS (SELECT *, unnest(generate_series(0, 15)) AS pos FROM wins)
-SELECT p.image_id, cast(p.win_idx AS int) AS win_idx,
-  cast(p.n AS int) AS n_real_points, cast(p.pad AS int) AS n_pad,
+posg AS (
+  SELECT *, unnest(generate_series(0, {_AW_W - 1})) AS pos,
+    win_idx * {_AW_S} + unnest(generate_series(0, {_AW_W - 1})) AS i
+  FROM wins
+)
+SELECT p.image_id, cast(p.win_idx AS int) AS win_idx, p.n_real_points, p.n_pad,
   cast(p.pos AS int) AS pos, f.phash, f.wd
 FROM posg p
-JOIN sel f ON f.image_id = p.image_id
-  AND f.rn = greatest(0, p.win_idx * 4 + p.pos - p.pad)
+JOIN f ON f.image_id = p.image_id
+  AND f.rn = CASE WHEN p.start_i >= 0 THEN least(p.start_i + p.i, p.n - 1)
+                  WHEN p.i < p.end_i THEN least(p.i, p.n - 1)
+                  ELSE 0 END
 """
 
 
@@ -260,28 +284,14 @@ def q_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     img = tables.image_caption_from_events(spark, sf_dir)
-    w = windows.aligned_windows(
+    return windows.aligned_windows(
         img.withColumn("wd", F.col("w").cast("double")),
         ["phash", "wd"],
-        window_size=16,
-        shift=4,
+        window_size=_AW_W,
+        shift=_AW_S,
         start_ts=pd.Timestamp(_ALIGNED_START),
         end_ts=pd.Timestamp(_ALIGNED_END),
-    )
-    return w.select(
-        "image_id",
-        "win_idx",
-        "n_real_points",
-        "n_pad",
-        F.posexplode("features").alias("pos", "e"),
-    ).select(
-        "image_id",
-        "win_idx",
-        "n_real_points",
-        "n_pad",
-        "pos",
-        F.col("e")[0].alias("phash"),
-        F.col("e")[1].alias("wd"),
+        win_start=_AW_B,
     )
 
 

@@ -372,13 +372,39 @@ def with_bfill(
 
 
 # ------------------------------------------------------------------
-# W2: aligned windows with edge backfill (process_fixed_window_features,
-# feature_utilities.py:372-460): slice the series to [start_ts, end_ts],
-# head-pad by replicating the first row until the length is
-# window_size + k*shift (the reference pads with features[0] /
-# features[-1] replication and enforces (end-start-window)%shift==0),
-# then emit every window stepping by shift.  Zero points in range →
-# zero windows (fishing_feature_generation_test.py:58-82).
+# W2: aligned windows with edge backfill — reference-exact port of the
+# SEMANTICS of process_fixed_window_features (feature_utilities.py:
+# 372-460), re-expressed as a pure-DataFrame plan.
+#
+# Reference behavior, with window=(win_start, win_end) and
+# shift == win_end - win_start - 1:
+#   pad_end   = window_size - win_end
+#   pad_start = win_start
+#   raw_end_i   = searchsorted(ts, end_ts, 'right')   (len(ts) if None)
+#   n_pad_end   = max(pad_end - (n - raw_end_i), 0)
+#   end_i       = raw_end_i + pad_end
+#   raw_start_i = searchsorted(ts, start_ts, 'left')  (0 if None)
+#   start_i     = raw_start_i - pad_start, then decremented until
+#                 (end_i - start_i - window_size) % shift == 0
+#   empty when start_i >= n or end_i < 1 (or n == 0)
+#   series is tail-padded with features[-1] replicas when the data
+#   runs out before end_i; when start_i < 0 the reference APPENDS
+#   (-start_i) replicas of features[0] AT THE TAIL
+#   (feature_utilities.py:452 — contradicting its own comment; we
+#   reproduce that behavior verbatim and pin it in the oracle), else
+#   slices from start_i.  Windows then step by `shift`.
+#
+# All of that collapses to a closed-form source-row index for window
+# position i in [0, end_i - start_i):
+#   start_i >= 0 -> rn = min(start_i + i, n - 1)     (tail-pad)
+#   start_i <  0 -> rn = min(i, n - 1) if i < end_i  (base series +
+#                    tail-pad), else 0               (the head-pad-
+#                                                     at-tail quirk)
+# so the plan is: per-entity scalar agg -> explode(win_idx, pos) ->
+# equi-join back to the facts on (entity, rn).  No Python, no arrays
+# materialized per row; both join sides stay on the entity hash
+# partitioning.  Zero points and zero-overlap entities emit zero
+# windows (fishing_feature_generation_test.py:58-82).
 # ------------------------------------------------------------------
 
 def aligned_windows(
@@ -386,55 +412,111 @@ def aligned_windows(
     feature_cols: list[str],
     window_size: int,
     shift: int,
-    start_ts,
-    end_ts,
+    start_ts=None,
+    end_ts=None,
     entity: str = "image_id",
     ts: str = "ts",
+    win_start: int = 0,
 ) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-    import pyspark.sql.types as T
+    """Exploded aligned windows: one row per (entity, win_idx, pos)
+    with each feature cast to double, plus n_real_points (real source
+    rows inside the [start_i, end_i) span) and n_pad (replicated pad
+    rows).  win_end is derived as win_start + shift + 1 per the
+    reference's assert; win_start=0, shift=window_size-1 gives the
+    pad-free "window=None" mode of its caller
+    (fishing_feature_generation.py:106-110)."""
+    W, S = window_size, shift
+    win_end = win_start + S + 1
+    if win_end > W:
+        raise ValueError(
+            f"win_start + shift + 1 = {win_end} exceeds window_size {W}"
+        )
+    pad_end, pad_start = W - win_end, win_start
 
-    out_schema = T.StructType(
-        [
-            T.StructField(entity, df.schema[entity].dataType),
-            T.StructField("win_idx", T.IntegerType()),
-            T.StructField("n_real_points", T.IntegerType()),
-            T.StructField("n_pad", T.IntegerType()),
-            T.StructField("features", T.ArrayType(T.ArrayType(T.DoubleType()))),
-        ]
+    rows = df.select(
+        F.col(entity),
+        F.col(ts).alias("_ts"),
+        *[F.col(c).cast("double").alias(f"_f_{c}") for c in feature_cols],
+    ).select(
+        "*",
+        (
+            F.row_number().over(Window.partitionBy(entity).orderBy("_ts")) - 1
+        ).alias("_rn"),
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts, kind="mergesort")
-        sel = pdf[(pdf[ts] >= start_ts) & (pdf[ts] <= end_ts)]
-        n = len(sel)
-        if n == 0:
-            return pd.DataFrame(
-                {c.name: pd.Series([], dtype=object) for c in out_schema}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if end_ts is not None:
+        aggs.append(
+            F.sum(F.when(F.col("_ts") <= F.lit(end_ts), 1).otherwise(0)).alias("_rei")
+        )
+    if start_ts is not None:
+        aggs.append(
+            F.sum(F.when(F.col("_ts") < F.lit(start_ts), 1).otherwise(0)).alias("_rsi")
+        )
+    meta = rows.groupBy(entity).agg(*aggs)
+    if end_ts is None:
+        meta = meta.withColumn("_rei", F.col("_n"))
+    if start_ts is None:
+        meta = meta.withColumn("_rsi", F.lit(0).cast("long"))
+    # Python-mod (always non-negative) for the alignment decrement:
+    # start_i = start_i0 - ((W + start_i0 - end_i) mod S)
+    align = F.lit(W) + F.col("_si0") - F.col("_end_i")
+    meta = (
+        meta.withColumn("_end_i", F.col("_rei") + F.lit(pad_end))
+        .withColumn("_si0", F.col("_rsi") - F.lit(pad_start))
+        .filter((F.col("_si0") < F.col("_n")) & (F.col("_end_i") >= 1))
+        .withColumn("_start_i", F.col("_si0") - (((align % S) + S) % S))
+        .withColumn("_L", F.col("_end_i") - F.col("_start_i"))
+        .filter(F.col("_L") >= W)
+        .withColumn(
+            "n_real_points",
+            (
+                F.least("_end_i", "_n") - F.greatest("_start_i", F.lit(0).cast("long"))
+            ).cast("int"),
+        )
+        .withColumn("n_pad", (F.col("_L") - F.col("n_real_points")).cast("int"))
+    )
+    posg = (
+        meta.select(
+            entity,
+            "_n",
+            "_end_i",
+            "_start_i",
+            "n_real_points",
+            "n_pad",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.floor((F.col("_L") - W) / S)
+                )
+            ).alias("win_idx"),
+        )
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(W - 1))).alias("pos"),
+        )
+        .withColumn("_i", F.col("win_idx") * S + F.col("pos"))
+        .withColumn(
+            "_src",
+            F.when(
+                F.col("_start_i") >= 0,
+                F.least(F.col("_start_i") + F.col("_i"), F.col("_n") - 1),
             )
-        mat = sel[feature_cols].to_numpy(dtype=np.float64)
-        # minimal head pad so len == window_size + k*shift, k >= 0
-        if n <= window_size:
-            pad = window_size - n
-        else:
-            pad = (-(n - window_size)) % shift
-        if pad:
-            mat = np.concatenate([np.repeat(mat[:1], pad, axis=0), mat], axis=0)
-        rows = []
-        for k, s in enumerate(range(0, len(mat) - window_size + 1, shift)):
-            rows.append(
-                {
-                    entity: sel[entity].iloc[0],
-                    "win_idx": k,
-                    "n_real_points": int(n),
-                    "n_pad": int(pad),
-                    "features": [list(r) for r in mat[s : s + window_size]],
-                }
-            )
-        return pd.DataFrame(rows)
-
-    return df.groupBy(entity).applyInPandas(kernel, schema=out_schema)
+            .when(F.col("_i") < F.col("_end_i"), F.least(F.col("_i"), F.col("_n") - 1))
+            .otherwise(F.lit(0).cast("long")),
+        )
+    )
+    joined = posg.join(
+        rows.withColumnRenamed(entity, "_e"),
+        (F.col(entity) == F.col("_e")) & (F.col("_src") == F.col("_rn")),
+    )
+    return joined.select(
+        F.col(entity),
+        F.col("win_idx").cast("int").alias("win_idx"),
+        "n_real_points",
+        "n_pad",
+        F.col("pos").cast("int").alias("pos"),
+        *[F.col(f"_f_{c}").alias(c) for c in feature_cols],
+    )
 
 
 # ------------------------------------------------------------------

@@ -191,24 +191,63 @@ def test_zero_temporal_leakage(spark, img_df, ann_df, img_pdf):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
-def test_aligned_windows_match_oracle(img_df, img_pdf):
-    start = img_pdf["ts"].quantile(0.2)
-    end = img_pdf["ts"].quantile(0.8)
+def _aligned_vs_np(img_df, img_pdf, W, S, start, end, win_start):
     out = windows.aligned_windows(
-        img_df, ["phash", "w"], window_size=6, shift=2, start_ts=start, end_ts=end
+        img_df,
+        ["phash", "w"],
+        window_size=W,
+        shift=S,
+        start_ts=start,
+        end_ts=end,
+        win_start=win_start,
     ).toPandas()
     for eid, grp in img_pdf.groupby("image_id"):
         grp = grp.sort_values("ts")
-        sel = grp[(grp.ts >= start) & (grp.ts <= end)]
         want = oracle.aligned_windows_np(
-            sel[["phash", "w"]].to_numpy(dtype=np.float64), 6, 2
+            grp["ts"].to_numpy("datetime64[ns]").astype(np.int64),
+            grp[["phash", "w"]].to_numpy(dtype=np.float64),
+            W,
+            S,
+            start=start.value,  # epoch ns, matches the ts array
+            end=end.value,
+            win_start=win_start,
         )
-        got = out[out.image_id == eid].sort_values("win_idx")
-        assert len(got) == len(want), eid
-        for (_, row), w_mat in zip(got.iterrows(), want):
-            assert np.allclose(np.array([list(r) for r in row.features]), w_mat)
-        if len(sel) == 0:
-            assert len(got) == 0  # zero-window case
+        got = out[out.image_id == eid]
+        n_wins = got["win_idx"].nunique()
+        assert n_wins == len(want), (eid, n_wins, len(want))
+        for k, w_mat in enumerate(want):
+            g = got[got.win_idx == k].sort_values("pos")
+            assert np.allclose(g[["phash", "w"]].to_numpy(), w_mat), (eid, k)
+
+
+def test_aligned_windows_match_oracle(img_df, img_pdf):
+    start = img_pdf["ts"].quantile(0.2)
+    end = img_pdf["ts"].quantile(0.8)
+    # pad-free mode (window=None in the reference caller)
+    _aligned_vs_np(img_df, img_pdf, 6, 5, start, end, 0)
+    # interior sub-window: pad_start=1, pad_end=2
+    _aligned_vs_np(img_df, img_pdf, 6, 2, start, end, 1)
+
+
+def test_aligned_windows_tail_pad(img_df, img_pdf):
+    """Series ending before end_ts must tail-pad with features[-1]
+    replicas (reference pad_end branch, feature_utilities.py:444-447)
+    — the round-2 gap."""
+    import pandas as pd
+
+    start = img_pdf["ts"].quantile(0.2)
+    end = img_pdf["ts"].max() + pd.Timedelta(days=30)  # everyone tail-pads
+    _aligned_vs_np(img_df, img_pdf, 8, 3, start, end, 2)
+    out = windows.aligned_windows(
+        img_df,
+        ["phash", "w"],
+        window_size=8,
+        shift=3,
+        start_ts=start,
+        end_ts=end,
+        win_start=2,
+    ).toPandas()
+    assert (out["n_pad"] > 0).any()  # padding actually happened
 
 
 def test_ffill_matches_oracle(spark, img_df, img_pdf):
