@@ -182,10 +182,24 @@ def _commit_snapshot(output_path: str, fingerprint: str, n_buckets: int) -> None
 
 
 def read_snapshot(output_path: str, snapshot_id: int | None = None) -> dict:
-    log = json.loads((_manifest_dir(output_path) / "snapshots.json").read_text())
+    snap_file = _manifest_dir(output_path) / "snapshots.json"
+    try:
+        log = json.loads(snap_file.read_text())
+    except FileNotFoundError:
+        raise ValueError(
+            f"no committed snapshot at {output_path!r} — the run never "
+            "reached commit_snapshot (partially-completed run?)"
+        ) from None
     if snapshot_id is None:
         return log[-1]
-    return next(s for s in log if s["snapshot_id"] == snapshot_id)
+    snap = next((s for s in log if s["snapshot_id"] == snapshot_id), None)
+    if snap is None:
+        known = [s["snapshot_id"] for s in log]
+        raise ValueError(
+            f"snapshot_id {snapshot_id} not found at {output_path!r}; "
+            f"committed snapshots: {known}"
+        )
+    return snap
 
 
 def read_result(spark, output_path: str, snapshot_id: int | None = None) -> DataFrame:

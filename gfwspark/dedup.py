@@ -210,7 +210,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = 100,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All-pairs exact n-gram Jaccard >= threshold, via the shingle
     inverted index (pairs generated only for docs sharing a shingle —
@@ -218,10 +218,12 @@ def ngram_jaccard_pairs(
 
     `max_shingle_df` caps posting-list length before the self-join
     (see cap_hot_shingles) — without it one boilerplate shingle makes
-    the join quadratic in its document frequency.  Jaccard is computed
-    over the CAPPED shingle universe (both intersection and sizes), the
-    standard df-capped approximation; pass None for the uncapped exact
-    form on small corpora."""
+    the join quadratic in its document frequency.  When set, Jaccard is
+    computed over the CAPPED shingle universe (both intersection and
+    sizes), the standard df-capped approximation — so capping changes
+    the returned values, and is therefore OPT-IN: the default (None) is
+    the exact uncapped form the function's name promises.  At corpus
+    scale always pass a cap (the registered query uses 100)."""
     sh = shingles(df, id_col, text_col, k)
     if max_shingle_df is not None:
         sh = cap_hot_shingles(sh, max_shingle_df, id_col)

@@ -182,7 +182,7 @@ WHERE round(cast(p.n_inter AS double) / (sa.n_sh + sb.n_sh - p.n_inter), 6) >= 0
 @register("ngram_jaccard_dups", _NGRAM_JACCARD_ORACLE)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(d, threshold=0.5, max_shingle_df=100)
 
 
 @register("minhash_lsh_dups", None)  # approx candidate set: rows-only check

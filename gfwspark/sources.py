@@ -209,6 +209,7 @@ def pack_token_budget_batches(
     budget: int,
     order_cols: list[str],
     partition_col: str | None = None,
+    allow_global: bool = False,
 ) -> DataFrame:
     """Contiguous token-budget sharding (training-batch packing): rows
     in deterministic `order_cols` order get batch_id =
@@ -216,12 +217,26 @@ def pack_token_budget_batches(
     when a row's start offset crosses a budget boundary, so every
     batch's token sum is <= budget + max_row_tokens (classic contiguous
     bin slack; exact greedy closing is inherently sequential and buys
-    <1 row per batch).  Optional `partition_col` packs independently
-    per partition (e.g. per language) — that is also what keeps the
+    <1 row per batch).  `partition_col` packs independently per
+    partition (e.g. per language) — that is also what keeps the
     running sum distributed at 100 TB: one entity-partitioned window,
-    no global serial scan."""
+    no global serial scan.
+
+    partition_col=None means an UNPARTITIONED running-sum window — the
+    whole input collapses onto one task.  That is only sane for small
+    frames, so it must be opted into explicitly with
+    allow_global=True; otherwise this raises rather than silently
+    degrading to a serial plan."""
     from pyspark.sql import Window as _W
 
+    if partition_col is None and not allow_global:
+        raise ValueError(
+            "pack_token_budget_batches with partition_col=None runs the "
+            "running-sum window on a single task (not distributed). Pass "
+            "partition_col=<col> to pack per-partition, or "
+            "allow_global=True to accept the serial global scan on a "
+            "small frame."
+        )
     part = [partition_col] if partition_col else []
     w = (
         _W.partitionBy(*part)

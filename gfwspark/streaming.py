@@ -101,19 +101,25 @@ def _hamming_state_fn(key, pdfs, state: GroupState):
         prev = np.concatenate([[ph[0] if last is None else last], ph[:-1]])
         # vectorized 64-bit popcount of the xor deltas (no per-row Python)
         x = (ph ^ prev).astype(np.uint64)
-        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype("float64")
+        # int64, not float: the output schema is IntegerType and the
+        # float->int32 coercion pyarrow would otherwise perform is
+        # version-fragile.  Only the first-ever row is None.
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
         out = pd.DataFrame(
             {"image_id": key[0], "ts": pdf["ts"].to_numpy(), "phash": ph, "phash_hamming": ham}
         )
+        out["phash_hamming"] = out["phash_hamming"].astype("object")
         if last is None:
-            out.iloc[0, out.columns.get_loc("phash_hamming")] = np.nan
+            out.iloc[0, out.columns.get_loc("phash_hamming")] = None
         last = int(ph[-1])
         outs.append(out)
     if last is not None:
         state.update((int(last),))
-    for out in outs:
-        out["phash_hamming"] = out["phash_hamming"].astype("object").where(out["phash_hamming"].notna(), None)
-        yield out
+    yield from outs
 
 
 def stream_hamming_state(stream: DataFrame) -> DataFrame:

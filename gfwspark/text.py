@@ -36,6 +36,13 @@ def tokens_col(text_col: str = "text"):
     )
 
 
+# partition-count probe cache, keyed by the logical plan's semantic
+# hash: .rdd compiles the physical plan (no job, but non-free), and one
+# minhash pipeline calls ensure_explode_parallelism several times on
+# the same lineage (shingles, simhash, lang_id) — the probe runs once.
+_NPART_CACHE: dict[int, int] = {}
+
+
 def ensure_explode_parallelism(df: DataFrame) -> DataFrame:
     """Explosive operators (shingle/token explode: ~100-200x row
     multiplication) need parallelism sized for their OUTPUT, but scan
@@ -44,14 +51,30 @@ def ensure_explode_parallelism(df: DataFrame) -> DataFrame:
     pre-explode repartition costs an input-proportional shuffle and
     buys output-proportional parallelism — at any scale the shuffle is
     <1% of the explode's downstream work.  No-op when the input already
-    has enough partitions (the 100 TB case: thousands of files)."""
+    has enough partitions (the 100 TB case: thousands of files).
+
+    Target = max(defaultParallelism, spark.sql.shuffle.partitions):
+    defaultParallelism alone undersizes under dynamic allocation, where
+    the executor count at plan time is not the executor count at run
+    time; shuffle.partitions is the operator-parallelism knob the rest
+    of the plan already uses."""
     try:
+        spark = df.sparkSession
+        target = max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
         # classic sessions only: .rdd compiles the physical plan to read
         # a partition count (no job).  Under Spark Connect .rdd is
         # unavailable — skip the optimization rather than fail (the
         # explode still computes correctly, just without the repartition).
-        target = df.sparkSession.sparkContext.defaultParallelism
-        n_in = df.rdd.getNumPartitions()
+        key = df._jdf.queryExecution().logical().semanticHash()
+        n_in = _NPART_CACHE.get(key)
+        if n_in is None:
+            n_in = df.rdd.getNumPartitions()
+            if len(_NPART_CACHE) > 256:  # bounded; keyed by plan hash
+                _NPART_CACHE.clear()
+            _NPART_CACHE[key] = n_in
     except Exception:
         return df
     if n_in < target:

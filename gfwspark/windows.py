@@ -748,6 +748,18 @@ def chunked_time_range_agg(
             cnt = r.count().to_numpy()[last].astype(np.int64)
             vmin = r.min().to_numpy()[last]
             vmax = r.max().to_numpy()[last]
+            # all-NULL window: rolling yields NaN but SQL MIN/MAX over
+            # zero non-null values is NULL — mask to None so Arrow
+            # emits null, not NaN (matches the RANGE BETWEEN oracle)
+            if (cnt == 0).any():
+                # index=pdf.index so the later column assignment aligns
+                # positionally with the sorted frame
+                vmin = pd.Series(vmin, dtype="object", index=pdf.index).where(
+                    cnt > 0, None
+                )
+                vmax = pd.Series(vmax, dtype="object", index=pdf.index).where(
+                    cnt > 0, None
+                )
         else:
             # int64 (e.g. 64-bit perceptual hashes) would lose exactness
             # through rolling's float64 path — use the exact vectorized

@@ -99,3 +99,15 @@ def test_bucket_count_change_invalidates_and_isolates(spark, tmp_path):
     assert checkpoint.read_result(spark, out).count() == rows_4
     # pinned read of the OLD snapshot is still byte-consistent
     assert checkpoint.read_result(spark, out, snapshot_id=1).count() == rows_4
+
+
+def test_snapshot_errors_are_actionable(spark, tmp_path):
+    """Missing snapshots.json and unknown snapshot_id raise ValueError
+    with the path / known-ids in the message (ADVICE r2), not raw
+    StopIteration / FileNotFoundError."""
+    import pytest
+
+    from gfwspark import checkpoint as ckpt
+
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        ckpt.read_snapshot(str(tmp_path / "never_written"))

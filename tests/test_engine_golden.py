@@ -580,3 +580,33 @@ def test_range_feature_windows_semantics(spark):
         .toPandas().sort_values(["user_id", "pos"]).reset_index(drop=True)
     )
     assert out2[out2.user_id == "A"]["feature"].tolist() == [2.0, 3.0, 4.0, 2.0]
+
+
+def test_chunked_time_range_agg_all_null_window(spark):
+    """A window whose values are all NULL must yield SQL NULL for
+    min/max (not NaN) — exactly what the RANGE BETWEEN oracle does.
+    The chunked kernel's pandas rolling path yields NaN there, so the
+    kernel masks cnt == 0 positions to None (ADVICE r2)."""
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        ("A", (base + pd.Timedelta(seconds=s)).to_pydatetime(), v)
+        for s, v in [(0, None), (100, None), (3000, 2.5), (5000, None), (9000, 1.0)]
+    ]
+    df = spark.createDataFrame(rows, "image_id string, ts timestamp, v double")
+    plain = (
+        windows.with_time_range_agg(df, "v", duration_s=1800, prefix="p")
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    chunked = (
+        windows.chunked_time_range_agg(df, "v", duration_s=1800, chunk_s=3600, prefix="p")
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    # rows 0,1 (all-null window) and row 3 have cnt==0 -> NULL min/max
+    assert plain["p_cnt"].tolist() == chunked["p_cnt"].tolist()
+    assert plain["p_min"].isna().tolist() == chunked["p_min"].isna().tolist()
+    assert chunked.loc[0, "p_cnt"] == 0 and pd.isna(chunked.loc[0, "p_min"])
+    pd.testing.assert_frame_equal(
+        plain[["image_id", "ts", "p_cnt", "p_min", "p_max"]],
+        chunked[["image_id", "ts", "p_cnt", "p_min", "p_max"]],
+        check_dtype=False,
+    )

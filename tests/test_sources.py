@@ -136,3 +136,43 @@ def test_iceberg_probe_and_fallback(spark, tmp_path):
     sources.write_partitioned(df, out, ["part"], iceberg_table="local.db.t")
     back = spark.read.parquet(out)
     assert back.count() == 3 and set(back.columns) == {"part", "v"}
+
+
+def test_pack_token_batches_global_requires_optin(spark):
+    """partition_col=None collapses the running-sum window onto one
+    task — must raise unless explicitly opted into (VERDICT r2 #4)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(20)], "doc_id int, n_tokens int"
+    )
+    with pytest.raises(ValueError, match="single task"):
+        sources.pack_token_budget_batches(df, "n_tokens", 64, ["doc_id"])
+    out = sources.pack_token_budget_batches(
+        df, "n_tokens", 64, ["doc_id"], allow_global=True
+    )
+    pdf = out.toPandas().sort_values("doc_id")
+    assert pdf["batch_id"].tolist() == [i * 10 // 64 for i in range(20)]
+
+
+def test_stable_hash_golden_values(spark):
+    """F1 value pinning (VERDICT r2 #5): exact blake2b-last-8-hex
+    values for fixed ids, the golden-value style of the reference's
+    metadata_test.py.  stable_hash must equal
+    int(blake2b(id).hexdigest()[-8:], 16) — xxhash64/crc32 substitutes
+    would break reference split parity (metadata.py:130-133)."""
+    from gfwspark import functions as fn
+
+    df = spark.createDataFrame(
+        [("img_000000",), ("vessel-123",), ("42",)], "id string"
+    )
+    got = dict(
+        df.select("id", fn.stable_hash("id").alias("h")).toPandas().itertuples(
+            index=False, name=None
+        )
+    )
+    assert got == {
+        "img_000000": 3119122455,
+        "vessel-123": 636194754,
+        "42": 1563401116,
+    }
