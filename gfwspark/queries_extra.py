@@ -759,3 +759,37 @@ def q_sliding_feature_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         "feature",
     )
+
+
+# ---------------------------------------------------------------------
+# W1 large-window scalarized form: O(n) running-sum difference instead
+# of Spark's O(W)-per-row bounded frame — the path for the reference's
+# production window geometry (window_max_points = 12800,
+# vessel_characterization.py:59-69).  Registered round 3 (local parity
+# gate this round; rotate into the driver window next round).
+# ---------------------------------------------------------------------
+
+_SAL_W = 50
+
+_SLIDING_LARGE_ORACLE = f"""
+SELECT user_id, ts, value,
+  CASE WHEN cnt > 0 THEN cast(s AS double) END AS v_sum,
+  cnt AS v_cnt,
+  CASE WHEN cnt > 0 THEN cast(s AS double) / cast(cnt AS double) END AS v_avg
+FROM (
+  SELECT user_id, ts, value,
+    sum(cast(value AS decimal(38,6))) OVER w AS s,
+    cast(count(value) OVER w AS bigint) AS cnt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN {_SAL_W - 1} PRECEDING AND CURRENT ROW)
+)
+"""
+
+
+@register("sliding_agg_large", _SLIDING_LARGE_ORACLE)
+def q_sliding_agg_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return windows.with_sliding_agg_large(
+        ev, "value", window_size=_SAL_W, entity="user_id", ts="ts", prefix="v"
+    )

@@ -82,6 +82,72 @@ def with_sliding_agg(
     return out
 
 
+def with_sliding_agg_large(
+    df: DataFrame,
+    agg_col: str,
+    window_size: int,
+    entity: str = "image_id",
+    ts: str = "ts",
+    order_tiebreak: str | None = None,
+    prefix: str | None = None,
+) -> DataFrame:
+    """O(n) large-window sliding sum/count/avg via running-sum
+    difference: frame_sum[i] = cumsum[i] - cumsum[i - W].
+
+    Spark evaluates a bounded rowsBetween frame by re-aggregating the
+    frame PER ROW — O(W) per row, so the naive with_sliding_agg at the
+    reference's production geometry (window_max_points = 12800,
+    vessel_characterization.py:59-69) does ~12,800x more work than
+    this difference form, which is two O(n) window passes over one
+    entity hashpartitioning.  Exactness: the running sum is carried in
+    decimal(38,6), so the subtraction is exact and order-independent
+    (a float cumsum would drift and break oracle bit-parity); count is
+    null-aware (difference of running non-null counts).  Min/max need
+    order statistics that have no difference form — at big W use
+    chunked_time_range_agg's two-stack kernel instead."""
+    order = [F.col(ts).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w_row = Window.partitionBy(entity).orderBy(*order)
+    w_cum = w_row.rowsBetween(Window.unboundedPreceding, 0)
+    p = prefix or f"{agg_col}_W{window_size}"
+    dec = "decimal(38,6)"
+    out = (
+        df.withColumn("_cum", F.sum(F.col(agg_col).cast(dec)).over(w_cum))
+        .withColumn("_ccnt", F.count(agg_col).over(w_cum))
+        .withColumn(
+            "_s",
+            F.col("_cum")
+            - F.coalesce(
+                F.lag("_cum", window_size).over(w_row), F.lit(0).cast(dec)
+            ),
+        )
+        .withColumn(
+            f"{p}_cnt",
+            (
+                F.col("_ccnt")
+                - F.coalesce(F.lag("_ccnt", window_size).over(w_row), F.lit(0))
+            ).cast("long"),
+        )
+    )
+    nonzero = F.col(f"{p}_cnt") > 0
+    return (
+        out.withColumn(
+            f"{p}_sum", F.when(nonzero, F.col("_s").cast("double"))
+        )
+        .withColumn(
+            # exact decimal sum -> double, then ONE IEEE division by the
+            # count: bit-identical on both engines (float policy)
+            f"{p}_avg",
+            F.when(
+                nonzero,
+                F.col("_s").cast("double") / F.col(f"{p}_cnt").cast("double"),
+            ),
+        )
+        .drop("_cum", "_ccnt", "_s")
+    )
+
+
 def with_window_bounds(
     df: DataFrame, entity: str = "image_id", ts: str = "ts", window_size: int = 16
 ) -> DataFrame:

@@ -610,3 +610,25 @@ def test_chunked_time_range_agg_all_null_window(spark):
         chunked[["image_id", "ts", "p_cnt", "p_min", "p_max"]],
         check_dtype=False,
     )
+
+
+def test_sliding_agg_large_equals_naive_frame(spark, img_df):
+    """The O(n) running-sum-difference form must equal the naive
+    bounded-frame aggregates (which are O(W) per row and unusable at
+    the reference's production W=12800)."""
+    naive = (
+        windows.with_sliding_agg(
+            img_df.select("image_id", "ts", "phash"), "phash",
+            window_size=5, aggs=("avg", "count"), prefix="p",
+        )
+        .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    fast = (
+        windows.with_sliding_agg_large(
+            img_df.select("image_id", "ts", "phash"), "phash",
+            window_size=5, prefix="p",
+        )
+        .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    assert np.allclose(naive["p_avg"], fast["p_avg"])
+    assert naive["p_count"].tolist() == fast["p_cnt"].tolist()
