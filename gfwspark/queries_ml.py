@@ -543,3 +543,87 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_dups(d, threshold=0.5)
     return dedup.dup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------
+# K-means centroid training (Lloyd, 2 unrolled iterations) — the IVF
+# build step (similarity.kmeans_fit).  Fully deterministic: init = the
+# k smallest vec_ids, squared-euclidean distances in decimal(38,12)
+# (exact, order-free on both engines), means = decimal sum -> one IEEE
+# division, ties to the smaller cid, empty clusters keep the previous
+# centroid.  The oracle unrolls both Lloyd iterations in SQL.
+# Registered round 3 (past the driver window; local parity this round).
+# ---------------------------------------------------------------------
+
+_KM_K, _KM_DIM = 8, 64
+
+_KMEANS_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+  FROM embeddings
+),
+dims AS (SELECT unnest(generate_series(0, {_KM_DIM - 1})) AS pos),
+c0 AS (
+  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cid, v AS c
+  FROM base ORDER BY vec_id LIMIT {_KM_K}
+),
+d1 AS (
+  SELECT b.vec_id, c.cid,
+    sum(cast((b.v[d.pos+1] - c.c[d.pos+1]) * (b.v[d.pos+1] - c.c[d.pos+1])
+             AS decimal(38,12))) AS d2
+  FROM base b CROSS JOIN c0 c CROSS JOIN dims d
+  GROUP BY b.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rnk
+    FROM d1
+  ) WHERE rnk = 1
+),
+m1 AS (
+  SELECT a.cid, d.pos,
+    round(cast(sum(cast(b.v[d.pos+1] AS decimal(38,12))) AS double)
+          / cast(count(*) AS double), 6) AS val
+  FROM a1 a JOIN base b USING (vec_id) CROSS JOIN dims d
+  GROUP BY a.cid, d.pos
+),
+c1 AS (
+  SELECT c0.cid, d.pos, coalesce(m1.val, c0.c[d.pos+1]) AS val
+  FROM c0 CROSS JOIN dims d
+  LEFT JOIN m1 ON m1.cid = c0.cid AND m1.pos = d.pos
+),
+d2_ AS (
+  SELECT b.vec_id, c.cid,
+    sum(cast((b.v[c.pos+1] - c.val) * (b.v[c.pos+1] - c.val)
+             AS decimal(38,12))) AS d2
+  FROM base b CROSS JOIN c1 c
+  GROUP BY b.vec_id, c.cid
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rnk
+    FROM d2_
+  ) WHERE rnk = 1
+),
+m2 AS (
+  SELECT a.cid, d.pos,
+    round(cast(sum(cast(b.v[d.pos+1] AS decimal(38,12))) AS double)
+          / cast(count(*) AS double), 6) AS val
+  FROM a2 a JOIN base b USING (vec_id) CROSS JOIN dims d
+  GROUP BY a.cid, d.pos
+)
+SELECT c1.cid, cast(c1.pos AS int) AS pos,
+       coalesce(m2.val, c1.val) AS c_val
+FROM c1 LEFT JOIN m2 ON m2.cid = c1.cid AND m2.pos = c1.pos
+"""
+
+
+@register("kmeans_refine", _KMEANS_ORACLE)
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    cent = similarity.kmeans_fit(emb, k=_KM_K, n_iter=2)
+    return cent.select(
+        "cid", F.posexplode("embedding").alias("pos", "c_val")
+    ).select("cid", F.col("pos").cast("int").alias("pos"), "c_val")

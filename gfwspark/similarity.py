@@ -306,3 +306,148 @@ def embedding_near_dups(
         .select("id_a", "id_b", "cosine")
         .distinct()
     )
+
+
+# ------------------------------------------------------------------
+# K-means centroid training (Lloyd) — closes the IVF loop: ivf_topk's
+# centroids are no longer only a caller-supplied stand-in.  Spark-first
+# shape per iteration: broadcast the k centroids (tiny), map-side
+# argmin assignment over the corpus (one scan, no shuffle of vectors
+# beyond the per-dimension mean agg), groupBy(cid, dim) decimal means.
+# Centroids are collected to the driver each round — k x dim doubles,
+# the canonical driver-side state for Lloyd (this is NOT a
+# driver-side loop over data rows; the corpus never leaves executors).
+# ------------------------------------------------------------------
+
+def _sq_dist_dec(a: str, b: str):
+    """Squared euclidean distance with a decimal accumulator: exact and
+    order-independent, so Spark's index-order fold and the DuckDB
+    oracle's per-dimension SUM agree bit-for-bit.  Element type
+    (20,12) + accumulator (30,12) keeps Spark's add promotion at
+    (31,12) — full 12-digit scale preserved at every step (a (38,12)
+    accumulator would silently round each partial sum to scale 11)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(a),
+            F.col(b),
+            lambda x, y: (
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+            ).cast("decimal(20,12)"),
+        ),
+        F.lit(0).cast("decimal(30,12)"),
+        lambda acc, x: (acc + x).cast("decimal(30,12)"),
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid (squared-euclidean) assignment; ties to the
+    smaller cid.  Broadcast centroid dim, map-side only."""
+    cent = centroids.select(F.col("cid"), F.col(vec_col).alias("c_vec"))
+    scored = df.crossJoin(F.broadcast(cent)).withColumn(
+        "_d2", _sq_dist_dec(vec_col, "c_vec")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct("cid", vec_col), F.struct(F.col("_d2").alias("d"), "cid")
+            ).alias("_best")
+        )
+        .select(
+            id_col,
+            F.col("_best.cid").alias("cid"),
+            F.col(f"_best.{vec_col}").alias(vec_col),
+        )
+    )
+
+
+def _centroid_means(
+    assigned: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cluster per-dimension mean: posexplode -> decimal sums ->
+    ONE IEEE division -> array rebuild.  Empty clusters emit nothing
+    (the caller keeps the old centroid)."""
+    per_dim = (
+        assigned.select("cid", F.posexplode(vec_col).alias("pos", "_x"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.sum(F.col("_x").cast("double").cast("decimal(38,12)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "cid",
+            "pos",
+            # rounded to 6 decimals (engine float policy): DuckDB's
+            # decimal->double cast double-rounds (int128 then /10^s) and
+            # can differ from Spark's correctly-rounded BigDecimal path
+            # by 1 ulp; 6-decimal centroids are identical on both
+            # engines and lose nothing for clustering
+            F.round(
+                F.col("_s").cast("double") / F.col("_n").cast("double"), 6
+            ).alias("_m"),
+        )
+    )
+    return per_dim.groupBy("cid").agg(
+        F.expr("transform(sort_array(collect_list(struct(pos, _m))), s -> s._m)").alias(
+            "embedding"
+        )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: DataFrame | None = None,
+) -> DataFrame:
+    """Lloyd's k-means, fully deterministic: init = the k smallest-id
+    vectors (or a caller-supplied (cid, vec) frame), squared-euclidean
+    assignment with ties to the smaller cid, decimal per-dimension
+    means.  Runs exactly n_iter rounds (classic fixed-iteration Lloyd;
+    convergence detection would add a driver count per round for no
+    oracle benefit).  An empty cluster keeps its previous centroid.
+
+    Returns the (cid, embedding double[]) centroid table — feed it to
+    ivf_assign / ivf_topk.  Each iteration materializes only the k
+    centroids on the driver (k x dim doubles); the corpus is touched
+    map-side per round."""
+    if init is None:
+        w = Window.orderBy(id_col)
+        init = (
+            df.orderBy(id_col)
+            .limit(k)
+            .select(
+                (F.row_number().over(w) - 1).alias("cid"),
+                F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias(
+                    vec_col
+                ),
+            )
+        )
+    spark = df.sparkSession
+    cent_rows = init.select("cid", vec_col).collect()
+    schema = "cid int, embedding array<double>"
+    for _ in range(n_iter):
+        cent = spark.createDataFrame(
+            [(int(r["cid"]), [float(x) for x in r[vec_col]]) for r in cent_rows],
+            schema,
+        )
+        assigned = kmeans_assign(df, cent, id_col, vec_col)
+        new = {
+            int(r["cid"]): [float(x) for x in r["embedding"]]
+            for r in _centroid_means(assigned, vec_col).collect()
+        }
+        cent_rows = [
+            {"cid": int(r["cid"]), vec_col: new.get(int(r["cid"]), list(r[vec_col]))}
+            for r in cent_rows
+        ]
+    return spark.createDataFrame(
+        [(r["cid"], r[vec_col]) for r in cent_rows], schema
+    )

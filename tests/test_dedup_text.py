@@ -287,3 +287,43 @@ def test_multiprobe_recall_on_clustered_corpus(spark):
     n_cand = c.join(qp, "bucket").count()
     frac = n_cand / (n_q * n_clusters * per)
     assert frac <= 0.40, frac  # clustered buckets are lumpy; still ~3x+ cheaper
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    """Lloyd's k-means (similarity.kmeans_fit) on a planted mixture:
+    after a few iterations every planted cluster's points share one
+    centroid and each fitted centroid is close to its true center —
+    the IVF build step, no longer a caller-supplied stand-in."""
+    rng = np.random.RandomState(3)
+    k, per, dim = 4, 25, 8
+    centers = 4.0 * rng.randn(k, dim)
+    vecs = np.concatenate(
+        [centers[c] + 0.05 * rng.randn(per, dim) for c in range(k)], axis=0
+    )
+    order = rng.permutation(len(vecs))
+    rows = [(int(i), [float(x) for x in vecs[j]]) for i, j in enumerate(order)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # seed one (noisy) point per planted cluster — the caller-supplied
+    # init path (production seeds with kmeans++/sampling; smallest-id
+    # init can land two seeds in one cluster and stick in the classic
+    # Lloyd local optimum, which is correct behavior but not this test)
+    init = spark.createDataFrame(
+        [(c, [float(x) for x in vecs[c * per]]) for c in range(k)],
+        "cid int, embedding array<double>",
+    )
+    cent = similarity.kmeans_fit(df, k=k, n_iter=8, init=init)
+    fitted = {r["cid"]: np.array(r["embedding"]) for r in cent.collect()}
+    assert len(fitted) == k
+    # every true center is within noise distance of exactly one centroid
+    matched = set()
+    for c in range(k):
+        dists = {cid: np.linalg.norm(v - centers[c]) for cid, v in fitted.items()}
+        best = min(dists, key=dists.get)
+        assert dists[best] < 0.2, (c, dists[best])
+        matched.add(best)
+    assert len(matched) == k
+    # assignment purity: cluster-mates land together
+    asg = similarity.kmeans_assign(df, cent).toPandas()
+    asg["true"] = [int(order[i] // per) for i in asg["vec_id"]]
+    purity = asg.groupby("true")["cid"].nunique()
+    assert (purity == 1).all()
