@@ -184,6 +184,85 @@ def with_decoded_stats(df):
     return df.mapInPandas(decode_batch, schema=out_schema)
 
 
+# --------------------------------------------------- perceptual hash ----
+
+_PHASH_N = 32  # downsample grid; top-left 8x8 of the DCT is hashed
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the classic pHash transform)."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    m[0] /= np.sqrt(2)
+    return m * np.sqrt(2.0 / n)
+
+
+_DCT32 = _dct_matrix(_PHASH_N)
+
+
+def _area_mean_32(gray: np.ndarray) -> np.ndarray:
+    """Area-mean downsample of an (h, w) array to 32x32 via reduceat
+    over equal index buckets — deterministic for any input size."""
+    h, w = gray.shape
+    rb = (np.arange(_PHASH_N) * h) // _PHASH_N
+    cb = (np.arange(_PHASH_N) * w) // _PHASH_N
+    sums = np.add.reduceat(np.add.reduceat(gray.astype(np.float64), rb, axis=0), cb, axis=1)
+    rcnt = np.diff(np.append(rb, h))[:, None]
+    ccnt = np.diff(np.append(cb, w))[None, :]
+    return sums / (rcnt * ccnt)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of an RGB (h, w, 3) uint8 image:
+    luma -> 32x32 area mean -> 2D DCT-II -> top-left 8x8 coefficients
+    -> bit b set iff coef > median of the 64 (DC included in the
+    median, the common pHash variant; what matters for dedup is that
+    it is FIXED).  Bit i (row-major over the 8x8 block) is hash bit
+    63-i.  Robust to lossy re-encoding: the qnt round trip moves
+    low-frequency DCT coefficients by O(quantization noise) so
+    Hamming(phash(x), phash(lossy(x))) stays small, while unrelated
+    images differ in ~32 bits."""
+    luma = (
+        0.299 * pixels[..., 0] + 0.587 * pixels[..., 1] + 0.114 * pixels[..., 2]
+    )
+    small = _area_mean_32(luma)
+    coefs = (_DCT32 @ small @ _DCT32.T)[:8, :8].ravel()
+    med = np.median(coefs)
+    bits = coefs > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out - (1 << 64) if out >= (1 << 63) else out  # int64 range
+
+
+def with_phash(df, bytes_col: str = "bytes", fmt_col: str = "fmt"):
+    """Attach phash_px (int64 DCT pHash of the DECODED pixels) via
+    mapInPandas — the real image-axis feature behind the engine's
+    phash-delta featurization (the synthetic table's phash column is a
+    stand-in; this computes it from payload bytes).  Null/empty
+    payloads get null."""
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("phash_px", T.LongType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs: list[int | None] = []
+            for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                if data is None or len(data) == 0:
+                    hs.append(None)
+                    continue
+                hs.append(phash64(decode_image(bytes(data), fmt)))
+            out = pdf.copy()
+            out["phash_px"] = pd.Series(hs, dtype="object")
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
 # ------------------------------------------------------- resize ----
 
 def resize_images(df, out_w: int, out_h: int, fmt_out: str = "png"):

@@ -107,3 +107,37 @@ def test_real_video_audio_codecs_stubbed():
         multimodal.decode_video(b"\x00\x00\x00\x00", "mp4")
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"", "wav")
+
+
+def _ham64(a: int, b: int) -> int:
+    return bin((a ^ b) & (2**64 - 1)).count("1")
+
+
+def test_phash64_golden_and_robustness():
+    """Real DCT pHash from pixels: pinned value, small Hamming drift
+    under the lossy qnt round trip (the property dedup relies on),
+    large distance for an unrelated image."""
+    px = multimodal.make_pixels("img_000007", 3, w=64, h=48)
+    h = multimodal.phash64(px)
+    assert h == -9205784130249722756  # pinned golden
+    lossy = multimodal.decode_qnt(multimodal.encode_qnt(px))
+    assert _ham64(h, multimodal.phash64(lossy)) <= 6
+    other = multimodal.make_pixels("img_000011", 0, w=64, h=48)
+    assert _ham64(h, multimodal.phash64(other)) >= 16
+
+
+def test_with_phash_spark_plumbing(spark):
+    """phash_px rides through mapInPandas (Arrow batches); null bytes
+    stay null; values equal the local numpy hash of the same pixels."""
+    df = tables.synthesize_image_caption(
+        spark, n_entities=4, rows_per_entity=3, seed=42, with_bytes=True
+    )
+    out = multimodal.with_phash(df).select(
+        "image_id", "ts", "fmt", "bytes", "phash_px"
+    ).toPandas()
+    assert out["phash_px"].notna().all()
+    for _, r in out.head(5).iterrows():
+        px = multimodal.decode_image(bytes(r["bytes"]), r["fmt"])
+        assert int(r["phash_px"]) == multimodal.phash64(px)
+    plan = multimodal.with_phash(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # Arrow path, not row-at-a-time
