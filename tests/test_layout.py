@@ -93,3 +93,24 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bk_facts")
         spark.sql("DROP TABLE IF EXISTS bk_dim")
+
+
+def test_window_ops_reuse_partition_sorted_layout(spark):
+    """The north-rule layout sentence, as a plan invariant: per-entity
+    window operators over partition_sorted (repartitionByRange +
+    sortWithinPartitions) add ZERO exchanges — the one range exchange
+    paid at layout time is the only entity-keyed shuffle in the plan
+    (RangePartitioning(entity) satisfies the Window's clustering)."""
+    from gfwspark import tables, windows
+
+    img = tables.synthesize_image_caption(spark, n_entities=8, rows_per_entity=6, seed=1)
+    laid = layout.partition_sorted(
+        img.select("image_id", "ts", "phash"), num_partitions=4
+    )
+    out = windows.with_sliding_agg(laid, "phash", 4, prefix="p")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    entity_exchanges = [
+        l for l in plan.splitlines() if "Exchange" in l and "image_id" in l
+    ]
+    assert len(entity_exchanges) == 1, entity_exchanges
+    assert "rangepartitioning" in entity_exchanges[0]
