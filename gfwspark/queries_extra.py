@@ -772,18 +772,30 @@ def q_sliding_feature_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAL_W = 50
 
 _SLIDING_LARGE_ORACLE = f"""
-SELECT user_id, ts, value,
-  CASE WHEN cnt > 0 THEN cast(s AS double) END AS v_sum,
-  cnt AS v_cnt,
-  CASE WHEN cnt > 0 THEN cast(s AS double) / cast(cnt AS double) END AS v_avg
-FROM (
+WITH base AS (
   SELECT user_id, ts, value,
     sum(cast(value AS decimal(38,6))) OVER w AS s,
+    sum(cast(value * value AS decimal(38,6))) OVER w AS s2,
     cast(count(value) OVER w AS bigint) AS cnt
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts
                ROWS BETWEEN {_SAL_W - 1} PRECEDING AND CURRENT ROW)
+),
+v AS (
+  SELECT *,
+    CASE WHEN cnt > 0 THEN round(greatest(0.0,
+      cast(s2 AS double) / cast(cnt AS double)
+      - (cast(s AS double) / cast(cnt AS double))
+        * (cast(s AS double) / cast(cnt AS double))), 6) END AS v_var
+  FROM base
 )
+SELECT user_id, ts, value,
+  CASE WHEN cnt > 0 THEN cast(s AS double) END AS v_sum,
+  cnt AS v_cnt,
+  CASE WHEN cnt > 0 THEN cast(s AS double) / cast(cnt AS double) END AS v_avg,
+  v_var,
+  CASE WHEN cnt > 0 THEN round(sqrt(v_var), 6) END AS v_std
+FROM v
 """
 
 
@@ -791,5 +803,6 @@ FROM (
 def q_sliding_agg_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     return windows.with_sliding_agg_large(
-        ev, "value", window_size=_SAL_W, entity="user_id", ts="ts", prefix="v"
+        ev, "value", window_size=_SAL_W, entity="user_id", ts="ts", prefix="v",
+        with_var=True,
     )

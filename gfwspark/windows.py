@@ -90,9 +90,12 @@ def with_sliding_agg_large(
     ts: str = "ts",
     order_tiebreak: str | None = None,
     prefix: str | None = None,
+    with_var: bool = False,
 ) -> DataFrame:
-    """O(n) large-window sliding sum/count/avg via running-sum
-    difference: frame_sum[i] = cumsum[i] - cumsum[i - W].
+    """O(n) large-window sliding sum/count/avg (and optional population
+    variance/stddev) via running-sum difference:
+    frame_sum[i] = cumsum[i] - cumsum[i - W];
+    variance = E[x^2] - E[x]^2 from a second running sum of squares.
 
     Spark evaluates a bounded rowsBetween frame by re-aggregating the
     frame PER ROW — O(W) per row, so the naive with_sliding_agg at the
@@ -102,9 +105,14 @@ def with_sliding_agg_large(
     entity hashpartitioning.  Exactness: the running sum is carried in
     decimal(38,6), so the subtraction is exact and order-independent
     (a float cumsum would drift and break oracle bit-parity); count is
-    null-aware (difference of running non-null counts).  Min/max need
-    order statistics that have no difference form — at big W use
-    chunked_time_range_agg's two-stack kernel instead."""
+    null-aware (difference of running non-null counts).  The variance
+    is the normalization statistic of the reference's feature scaling
+    (run_training.py:26-40) in leakage-free trailing-window form;
+    E[x^2]-E[x]^2 is computed from exact decimal sums rounded to 6
+    decimals (engine float policy), so catastrophic cancellation of a
+    float cumsum never enters.  Min/max need order statistics that
+    have no difference form — at big W use chunked_time_range_agg's
+    two-stack kernel instead."""
     order = [F.col(ts).asc()] + (
         [F.col(order_tiebreak).asc()] if order_tiebreak else []
     )
@@ -131,21 +139,42 @@ def with_sliding_agg_large(
         )
     )
     nonzero = F.col(f"{p}_cnt") > 0
-    return (
-        out.withColumn(
-            f"{p}_sum", F.when(nonzero, F.col("_s").cast("double"))
-        )
-        .withColumn(
-            # exact decimal sum -> double, then ONE IEEE division by the
-            # count: bit-identical on both engines (float policy)
-            f"{p}_avg",
-            F.when(
-                nonzero,
-                F.col("_s").cast("double") / F.col(f"{p}_cnt").cast("double"),
+    out = out.withColumn(
+        f"{p}_sum", F.when(nonzero, F.col("_s").cast("double"))
+    ).withColumn(
+        # exact decimal sum -> double, then ONE IEEE division by the
+        # count: bit-identical on both engines (float policy)
+        f"{p}_avg",
+        F.when(
+            nonzero,
+            F.col("_s").cast("double") / F.col(f"{p}_cnt").cast("double"),
+        ),
+    )
+    drop = ["_cum", "_ccnt", "_s"]
+    if with_var:
+        sq = F.col(agg_col).cast("double") * F.col(agg_col).cast("double")
+        out = out.withColumn(
+            "_cum2", F.sum(sq.cast(dec)).over(w_cum)
+        ).withColumn(
+            "_s2",
+            F.col("_cum2")
+            - F.coalesce(
+                F.lag("_cum2", window_size).over(w_row), F.lit(0).cast(dec)
             ),
         )
-        .drop("_cum", "_ccnt", "_s")
-    )
+        n_d = F.col(f"{p}_cnt").cast("double")
+        mean = F.col("_s").cast("double") / n_d
+        var = F.round(
+            F.greatest(
+                F.lit(0.0), F.col("_s2").cast("double") / n_d - mean * mean
+            ),
+            6,
+        )
+        out = out.withColumn(f"{p}_var", F.when(nonzero, var)).withColumn(
+            f"{p}_std", F.when(nonzero, F.round(F.sqrt(var), 6))
+        )
+        drop += ["_cum2", "_s2"]
+    return out.drop(*drop)
 
 
 def with_window_bounds(
