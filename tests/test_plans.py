@@ -117,3 +117,12 @@ def test_sliding_feature_windows_no_prestride_materialization(spark):
     # row-count sanity: output rows = number of stride anchors, and the
     # exploded intermediate is bounded by ceil(W/shift) * n_input
     assert "Generate explode" in plan
+
+
+def test_aligned_windows_stays_jvm_side(spark):
+    """W2 became a pure-DataFrame plan in round 3 (was applyInPandas):
+    no Python eval nodes; the source-row mapping is a closed-form
+    expression joined back to the facts."""
+    plan = _plan(queries.all_queries()["aligned_windows"](spark, SF_MED))
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
