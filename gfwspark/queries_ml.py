@@ -557,8 +557,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_K, _KM_DIM = 8, 64
 
-_KMEANS_ORACLE = f"""
-WITH base AS (
+_KMEANS_CTES = f"""base AS (
   SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
   FROM embeddings
 ),
@@ -614,6 +613,10 @@ m2 AS (
   FROM a2 a JOIN base b USING (vec_id) CROSS JOIN dims d
   GROUP BY a.cid, d.pos
 )
+"""
+
+_KMEANS_ORACLE = f"""
+WITH {_KMEANS_CTES}
 SELECT c1.cid, cast(c1.pos AS int) AS pos,
        coalesce(m2.val, c1.val) AS c_val
 FROM c1 LEFT JOIN m2 ON m2.cid = c1.cid AND m2.pos = c1.pos
@@ -627,3 +630,62 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.select(
         "cid", F.posexplode("embedding").alias("pos", "c_val")
     ).select("cid", F.col("pos").cast("int").alias("pos"), "c_val")
+
+
+# ---------------------------------------------------------------------
+# End-to-end trained IVF: centroids from kmeans_fit (2 Lloyd
+# iterations) feed ivf_topk — the full production ANN path (train ->
+# bucket -> probe -> exact re-rank), one composed oracle.  Registered
+# round 3 (past the driver window; local parity this round).
+# ---------------------------------------------------------------------
+
+_IVT_NPROBE = 2
+
+_IVF_TRAINED_ORACLE = f"""
+WITH {_KMEANS_CTES},
+kcent AS (
+  SELECT c1.cid, list(coalesce(m2.val, c1.val) ORDER BY c1.pos) AS c_vec
+  FROM c1 LEFT JOIN m2 ON m2.cid = c1.cid AND m2.pos = c1.pos
+  GROUP BY c1.cid
+),
+asg AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, k.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round({_d_dot('e.embedding', 'k.c_vec')}
+              / ({_d_norm('e.embedding')} * {_d_norm('k.c_vec')}), 6) DESC, k.cid) AS rnk
+    FROM embeddings e CROSS JOIN kcent k
+  ) WHERE rnk = 1
+),
+qprob AS (
+  SELECT q_id, q_emb, cid FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS q_emb, k.cid,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        round({_d_dot('q.embedding', 'k.c_vec')}
+              / ({_d_norm('q.embedding')} * {_d_norm('k.c_vec')}), 6) DESC, k.cid) AS pr
+    FROM embeddings q CROSS JOIN kcent k WHERE q.vec_id < 10
+  ) WHERE pr <= {_IVT_NPROBE}
+),
+scored AS (
+  SELECT p.q_id, a.vec_id,
+    round({_d_dot('a.embedding', 'p.q_emb')}
+          / ({_d_norm('a.embedding')} * {_d_norm('p.q_emb')}), 6) AS cosine
+  FROM asg a JOIN qprob p ON a.cid = p.cid AND a.vec_id <> p.q_id
+),
+r AS (
+  SELECT q_id, vec_id, cosine,
+    cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS int) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_trained", _IVF_TRAINED_ORACLE)
+def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    cent = similarity.kmeans_fit(emb, k=_KM_K, n_iter=2)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, q, cent, k=5, n_probe=_IVT_NPROBE)
