@@ -237,3 +237,88 @@ def test_dup_clusters_property(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert dict(got) == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    ts=series_strategy(min_size=1, max_size=30),
+    W=st.integers(min_value=2, max_value=10),
+    data=st.data(),
+    bounds=st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=350_000)),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=350_000)),
+    ),
+)
+def test_aligned_windows_property(spark, ts, W, data, bounds):
+    """W2 closed-form source-row index vs the reference-exact numpy
+    oracle over random series, geometries (win_start included) and
+    optional/None start/end bounds — the edge surface the fixed
+    fixtures cannot sweep (all-before-start, all-after-end, empty
+    span, exact-W spans, pure-padding windows)."""
+    from gfwspark import windows
+
+    shift = data.draw(st.integers(min_value=1, max_value=W - 1))
+    b = data.draw(st.integers(min_value=0, max_value=W - shift - 1))
+    start_s, end_s = bounds
+    vals = np.arange(len(ts), dtype=np.float64)
+    pdf = pd.DataFrame(
+        {"image_id": "e0", "ts": pd.to_datetime(ts, unit="s"), "v": vals}
+    )
+    df = spark.createDataFrame(pdf)
+    start = pd.Timestamp(start_s, unit="s") if start_s is not None else None
+    end = pd.Timestamp(end_s, unit="s") if end_s is not None else None
+    out = windows.aligned_windows(
+        df, ["v"], window_size=W, shift=shift,
+        start_ts=start, end_ts=end, win_start=b,
+    ).toPandas()
+    want = oracle.aligned_windows_np(
+        ts.astype(np.int64),
+        vals[:, None],
+        W,
+        shift,
+        start=start_s,
+        end=end_s,
+        win_start=b,
+    )
+    assert out["win_idx"].nunique() == len(want)
+    for k, w_mat in enumerate(want):
+        g = out[out.win_idx == k].sort_values("pos")
+        assert np.allclose(g["v"].to_numpy(), w_mat[:, 0]), (k, W, shift, b)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    ts=series_strategy(min_size=1, max_size=30),
+    W=st.integers(min_value=1, max_value=12),
+    nulls=st.lists(st.booleans(), min_size=30, max_size=30),
+)
+def test_sliding_agg_large_property(spark, ts, W, nulls):
+    """O(n) running-sum-difference == naive bounded frame on random
+    series WITH NULLS (null-aware count, sum/avg NULL on empty)."""
+    from gfwspark import windows
+
+    vals = [None if nulls[i] else float(i * 7 % 13) for i in range(len(ts))]
+    pdf = pd.DataFrame(
+        {"image_id": "e0", "ts": pd.to_datetime(ts, unit="s"), "v": vals}
+    )
+    df = spark.createDataFrame(pdf).withColumn("v", F.col("v").cast("double"))
+    fast = (
+        windows.with_sliding_agg_large(df, "v", W, prefix="p", with_var=True)
+        .orderBy("ts").toPandas()
+    )
+    naive = (
+        windows.with_sliding_agg(df, "v", W, aggs=("sum", "avg", "count"), prefix="q")
+        .orderBy("ts").toPandas()
+    )
+    assert fast["p_cnt"].tolist() == naive["q_count"].tolist()
+    assert np.allclose(
+        fast["p_sum"].astype(float), naive["q_sum"].astype(float), equal_nan=True
+    )
+    assert np.allclose(
+        fast["p_avg"].astype(float), naive["q_avg"].astype(float), equal_nan=True
+    )
+    # variance vs pandas rolling population variance
+    s = pd.Series([np.nan if v is None else v for v in vals])
+    want_var = s.rolling(W, min_periods=1).var(ddof=0).round(6)
+    got_var = fast["p_var"].astype(float)
+    assert np.allclose(got_var, want_var, equal_nan=True, atol=1e-6)
