@@ -45,6 +45,7 @@ def test_spark_submit_py_files_job(spark, tmp_path):
             str(REPO / "jobs" / "featurize_job.py"),
             "--input", img_path, "--annotations", ann_path,
             "--output", out_path, "--buckets", "2",
+            "--large-windows", "4,16",
         ],
         capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
     )
