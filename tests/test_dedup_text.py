@@ -327,3 +327,18 @@ def test_kmeans_fit_recovers_planted_clusters(spark):
     asg["true"] = [int(order[i] // per) for i in asg["vec_id"]]
     purity = asg.groupby("true")["cid"].nunique()
     assert (purity == 1).all()
+
+
+def test_kmeans_fit_partition_invariant(spark):
+    """Centroids are identical at any partition count: assignments are
+    pure functions of the data (decimal distances, deterministic ties)
+    and means are order-independent decimal sums — the determinism
+    contract that makes checkpoint resume sound."""
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(120)]
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df8 = df1.repartition(8)
+    c1 = similarity.kmeans_fit(df1, k=5, n_iter=3).toPandas().sort_values("cid")
+    c8 = similarity.kmeans_fit(df8, k=5, n_iter=3).toPandas().sort_values("cid")
+    for a, b in zip(c1["embedding"], c8["embedding"]):
+        assert list(a) == list(b)  # bit-identical, not just allclose
