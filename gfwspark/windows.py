@@ -227,11 +227,16 @@ def sliding_feature_windows(
     window iff (n - i) % shift == 0 and i >= window_size — the same
     index set as the reference's  `range(end, start, -shift)` walk.
 
-    Row rn is covered by anchor a iff a-W+1 <= rn <= a; anchors are
-    a = n - j*shift, so the covering j-range is
-    j_lo = max(0, ceil((n - rn - (W-1)) / shift)),
-    j_hi = floor((n - max(rn, W)) / shift).
-    (Division in double is exact here: |operands| < 2^31.)
+    Block-assembled plan: rows are first aggregated ONCE into
+    stride-sized blocks (block k = rows with (rn-1) div shift == k,
+    ordered), then each anchor's window is assembled by slicing the
+    <= ceil(W/shift)+1 blocks it covers and flattening.  Overlapping
+    windows SHARE blocks, so the heavy per-element aggregation touches
+    each input row exactly once (the earlier anchor-explode form
+    pushed W/shift copies of every row through the hash aggregate —
+    ~2x slower at the reference geometry; the round-2 per-row
+    collect_list form was ~12x slower still).  Every stage reuses the
+    entity hashpartitioning: one exchange total.
     """
     W, S = window_size, shift
     w_order = Window.partitionBy(entity).orderBy("_ts")
@@ -242,21 +247,44 @@ def sliding_feature_windows(
     ).select(
         "*",
         F.row_number().over(w_order).alias("_rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(entity)).alias("_n"),
+    )
+    # stride-sized ordered blocks: one struct array per (entity, block)
+    blocks = (
+        rows.withColumn("_blk", F.floor((F.col("_rn") - 1) / S))
+        .groupBy(entity, "_blk")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(_rn, _val, _ts))),"
+                " x -> struct(x._val AS v, x._ts AS t))"
+            ).alias("_arr")
+        )
+    )
+    # n per entity via a window-sum over the (already entity-
+    # partitioned) blocks — ONE lineage branch, so the plan has exactly
+    # one exchange (a join against a separately-derived anchor frame
+    # would duplicate the fact shuffle: column pruning makes the two
+    # subtrees physically different and defeats ReuseExchange).
+    blocks = blocks.withColumn(
+        "_n", F.sum(F.size("_arr")).over(Window.partitionBy(entity))
     )
     if min_points is not None:
-        rows = rows.filter(F.col("_n") >= min_points)
-    j_hi = F.floor((F.col("_n") - F.greatest(F.col("_rn"), F.lit(W))) / S)
+        blocks = blocks.filter(F.col("_n") >= min_points)
+    # anchors a = n - j*S, a >= W.  Block k holds rns
+    # [k*S+1, k*S+size]; anchor a covers the block iff
+    # a >= k*S+1 and a-W+1 <= k*S+size, giving the closed j-range
+    # (same arithmetic as the per-row form, applied to block bounds):
+    lo_rn = F.col("_blk") * S + 1
+    hi_rn = F.col("_blk") * S + F.size("_arr")
+    j_hi = F.floor((F.col("_n") - F.greatest(lo_rn, F.lit(W).cast("long"))) / S)
     j_lo = F.greatest(
         F.lit(0).cast("long"),
-        -F.floor((F.col("_rn") + F.lit(W - 1) - F.col("_n")) / S),
+        -F.floor((hi_rn + F.lit(W - 1) - F.col("_n")) / S),
     )
-    exploded = (
-        rows.select(
+    win_blocks = (
+        blocks.select(
             entity,
-            "_ts",
-            "_val",
-            "_rn",
+            "_blk",
+            "_arr",
             "_n",
             j_lo.alias("_jlo"),
             j_hi.alias("_jhi"),
@@ -264,33 +292,37 @@ def sliding_feature_windows(
         .filter(F.col("_jhi") >= F.col("_jlo"))
         .select(
             entity,
-            "_ts",
-            "_val",
-            "_rn",
+            "_blk",
+            "_arr",
             "_n",
             F.explode(F.sequence("_jlo", "_jhi")).alias("_j"),
         )
         .select(
             entity,
-            "_ts",
-            "_val",
-            "_rn",
+            "_blk",
+            "_arr",
             (F.col("_n") - F.col("_j") * S).alias("_arn"),
         )
+        .withColumn("_lo", F.col("_arn") - F.lit(W - 1))
     )
+    # assemble: slice each block to the window's [lo, arn] sub-range
+    # (block k holds rns k*S+1 .. k*S+len), then flatten in block order
+    slice_expr = (
+        "flatten(transform(sort_array(collect_list(struct(_blk, _arr))),"
+        " b -> slice(b._arr,"
+        "  int(greatest(1L, _lo - b._blk * CAST_S)),"
+        "  int(least(CAST(size(b._arr) AS bigint), _arn - b._blk * CAST_S)"
+        "      - greatest(1L, _lo - b._blk * CAST_S) + 1L))))"
+    ).replace("CAST_S", f"CAST({S} AS bigint)")
     return (
-        exploded.groupBy(entity, "_arn")
-        .agg(
-            F.max("_ts").alias("win_end_ts"),
-            F.min("_ts").alias("win_start_ts"),
-            F.sort_array(F.collect_list(F.struct("_rn", "_val"))).alias("_w"),
-        )
+        win_blocks.groupBy(entity, "_arn", "_lo")
+        .agg(F.expr(slice_expr).alias("_w"))
         .select(
             F.col(entity),
-            "win_end_ts",
-            "win_start_ts",
+            F.element_at("_w", -1).getField("t").alias("win_end_ts"),
+            F.element_at("_w", 1).getField("t").alias("win_start_ts"),
             F.size("_w").alias("n_points"),
-            F.expr("transform(_w, x -> x._val)").alias("features"),
+            F.expr("transform(_w, x -> x.v)").alias("features"),
         )
     )
 
