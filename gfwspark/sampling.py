@@ -420,11 +420,19 @@ def range_feature_windows(
     )
     posg = meta.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(W - 1))).alias("pos")
+    ).withColumn(
+        # the source row index is computable BEFORE the join — making it
+        # a join KEY keeps this a pure equi-join.  Joining on
+        # (entity, range) alone and filtering afterwards would stream
+        # W x n_in_range pairs per range through the join (the same
+        # amplification class as the old W1m collect_list)
+        "_src",
+        F.col("_off") + (F.col("pos") % F.col("_c")),
     )
-    out = posg.join(
-        rows.select(entity, "_rs", "_re", "_idx", "_ts", "_val"),
-        [entity, "_rs", "_re"],
-    ).filter(F.col("_idx") == F.col("_off") + (F.col("pos") % F.col("_c")))
+    rr = rows.select(
+        entity, "_rs", "_re", F.col("_idx").alias("_src"), "_ts", "_val"
+    )
+    out = posg.join(rr, [entity, "_rs", "_re", "_src"])
     return out.select(
         entity,
         F.col("_rs").alias("range_start"),
