@@ -8,7 +8,13 @@ are visible in the executed plan string.
 
 from __future__ import annotations
 
-PLAN_QUERIES = ("flagship_featurize", "asof_join_union", "equi_join_broadcast")
+PLAN_QUERIES = (
+    "flagship_featurize",
+    "asof_join_union",
+    "equi_join_broadcast",
+    "sliding_feature_windows",
+    "aligned_windows",
+)
 
 
 def main() -> None:
