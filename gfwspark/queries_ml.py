@@ -689,3 +689,35 @@ def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return similarity.ivf_topk(emb, q, cent, k=5, n_probe=_IVT_NPROBE)
+
+
+# ---------------------------------------------------------------------
+# TF-IDF top terms per document (training-data text analysis).
+# Registered round 3 (past the driver window; local parity this round).
+# ---------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lower(tok) AS tok
+  FROM (SELECT doc_id, unnest({_D_TOKS}) AS tok FROM documents)
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT cast(count(*) AS double) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+    round(cast(tf.tf AS double) * ln((n.n_docs + 1.0) / (cast(dfreq.df AS double) + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok AS token, cast(tf AS bigint) AS tf, cast(df AS bigint) AS df,
+  tfidf,
+  cast(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS int) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_ORACLE)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, k=3)

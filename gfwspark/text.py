@@ -176,3 +176,53 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             lambda acc, x: (acc * 31 + token_hash32(x)) % F.lit(_FP_MOD),
         ),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k terms per document by tf-idf (whitespace tokens,
+    lowercased): score = tf * ln((N+1)/(df+1)), rounded to 6 on both
+    engines; ties broken by token.  Corpus-scale shape: one explode
+    (pre-repartitioned for output parallelism), tf via
+    groupBy(doc, token), df via a second agg on token, the scalar N
+    broadcast via a 1-row cross join — no driver-side collect, every
+    join keyed or broadcast."""
+    toks = ensure_explode_parallelism(
+        df.select(id_col, F.explode(tokens_col(text_col)).alias("_tok"))
+    ).select(id_col, F.lower("_tok").alias("_tok"))
+    tf = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("_n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "_tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log((F.col("_n_docs") + 1.0) / (F.col("df").cast("double") + 1.0)),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("_tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("_tok").alias("token"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf",
+            "rank",
+        )
+    )
