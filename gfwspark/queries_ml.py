@@ -721,3 +721,58 @@ QUALIFY rank <= 3
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load_table(spark, sf_dir, "documents")
     return text.tfidf_top_terms(d, k=3)
+
+
+# ---------------------------------------------------------------------
+# End-to-end embedding dedup: near-dup PAIRS (hyperplane-bucketed
+# cosine) resolved into duplicate CLUSTERS with keep/drop — the image
+# near-dedup pipeline a 10^12-image corpus actually runs (pairs alone
+# cannot decide which of a chain {a-b, b-c} survives).  Composes
+# similarity.embedding_near_dups with dedup.dup_clusters (hash-min +
+# pointer jumping); the oracle composes the bucketed-cosine SQL with a
+# recursive-CTE connected components.  Registered round 3 (past the
+# driver window; local parity this round).
+# ---------------------------------------------------------------------
+
+_EMBED_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 15
+),
+c AS (
+  SELECT vec_id, embedding, {_d_bucket('embedding')} AS bucket FROM base
+),
+dups AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({_d_dot('a.embedding', 'b.embedding')}
+          / ({_d_norm('a.embedding')} * {_d_norm('b.embedding')}), 6) >= 0.9
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM dups UNION SELECT doc_b, doc_a FROM dups),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+roots AS (SELECT id, min(r) AS cluster_root FROM reach GROUP BY id)
+SELECT r.id AS doc_id, r.cluster_root,
+  s.cluster_size, r.id = r.cluster_root AS keep
+FROM roots r
+JOIN (SELECT cluster_root, count(*) AS cluster_size
+      FROM roots GROUP BY cluster_root) s USING (cluster_root)
+"""
+
+
+@register("embed_dedup_clusters", _EMBED_DEDUP_CLUSTERS_ORACLE)
+def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    pairs = similarity.embedding_near_dups(
+        emb.unionByName(planted), threshold=0.9, dim=_EMB_DIM
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return dedup.dup_clusters(pairs)
