@@ -342,3 +342,25 @@ def test_kmeans_fit_partition_invariant(spark):
     c8 = similarity.kmeans_fit(df8, k=5, n_iter=3).toPandas().sort_values("cid")
     for a, b in zip(c1["embedding"], c8["embedding"]):
         assert list(a) == list(b)  # bit-identical, not just allclose
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """A centroid that wins no points (here: an exact duplicate of
+    centroid 0 — every point ties and ties go to the smaller cid) must
+    survive the iteration unchanged rather than vanish or go null."""
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(6)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v0 = [float(x) for x in np.zeros(6)]
+    init = spark.createDataFrame(
+        [(0, v0), (1, v0)], "cid int, embedding array<double>"
+    )
+    cent = similarity.kmeans_fit(df, k=2, n_iter=1, init=init).toPandas()
+    assert set(cent["cid"]) == {0, 1}
+    c1 = cent.set_index("cid").loc[1, "embedding"]
+    assert list(c1) == v0  # empty cluster kept its previous centroid
+    c0 = cent.set_index("cid").loc[0, "embedding"]
+    assert list(c0) != v0  # the winning cluster did move
+    # after iteration 1 the centroids differ, so a SECOND iteration may
+    # legitimately assign points to cid 1 — only the tied round keeps it
+    # empty (correct Lloyd behavior, verified above)
