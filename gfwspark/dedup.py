@@ -349,3 +349,79 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         "cluster_size",
         (F.col("id") == F.col("root")).alias("keep"),
     )
+
+
+def phash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance,
+    via the pigeonhole band index: split the 64-bit phash into
+    `n_bands` equal bands — two hashes within Hamming distance
+    d < n_bands must agree on at least ONE band — bucket-join on
+    (band_idx, band_value), then verify with the exact popcount.
+    Candidates are linear in band-bucket occupancy, never
+    |corpus|^2 (the same shape as the text-side MinHash/LSH and
+    SimHash paths).  Requires max_hamming < n_bands for the guarantee.
+
+    (phash >> 16b) & 0xFFFF is arithmetic-shift-then-mask — identical
+    on Spark and DuckDB for negative int64 hashes, so the oracle
+    replays bit-for-bit.  `max_bucket_size` drops degenerate buckets
+    (e.g. an all-zero band over solid-color images) like
+    lsh_candidates does."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = df.select(
+        F.col(id_col),
+        F.col(phash_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(phash_col), width * b).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    if max_bucket_size is not None:
+        counts = bands.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        bands = bands.join(
+            counts.filter(F.col("_bn") <= max_bucket_size),
+            ["band_idx", "band_val"],
+        ).drop("_bn")
+    a = bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col(phash_col).alias("_pa"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col(phash_col).alias("_pb"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

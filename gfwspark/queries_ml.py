@@ -776,3 +776,48 @@ def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.unionByName(planted), threshold=0.9, dim=_EMB_DIM
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     return dedup.dup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------
+# Perceptual-hash near-dup pairs (image dedup): pigeonhole band index
+# over the 64-bit phash, exact popcount verify.  Planted copies with 2
+# flipped bits (xor 5) make the row non-vacuous.  Registered round 3
+# (past the driver window; local parity this round).
+# ---------------------------------------------------------------------
+
+_DUCK_IMG_ML = tables.sql_image_caption("duckdb").strip()
+
+_PHASH_DUPS_ORACLE = f"""
+WITH img AS ({_DUCK_IMG_ML}),
+base AS (
+  SELECT image_id, phash FROM img
+  UNION ALL
+  SELECT image_id || '_copy' AS image_id, xor(phash, 5) AS phash
+  FROM img WHERE image_id <= 'img_000014' AND ts < timestamp '2024-01-02'
+),
+bands AS (
+  SELECT image_id, phash, b.band_idx,
+    ((phash >> (16 * b.band_idx)) & 65535) AS band_val
+  FROM base, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+)
+SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+  cast(bit_count(xor(a.phash, b.phash)) AS int) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
+@register("phash_near_dups", _PHASH_DUPS_ORACLE)
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = tables.image_caption_from_events(spark, sf_dir).select("image_id", "ts", "phash")
+    planted = img.filter(
+        (F.col("image_id") <= "img_000014") & (F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+    ).select(
+        F.concat(F.col("image_id"), F.lit("_copy")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(5)).alias("phash"),
+    )
+    base = img.select("image_id", "phash").unionByName(planted)
+    out = dedup.phash_near_dups(base, max_hamming=3, n_bands=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

@@ -364,3 +364,23 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     # after iteration 1 the centroids differ, so a SECOND iteration may
     # legitimately assign points to cid 1 — only the tied round keeps it
     # empty (correct Lloyd behavior, verified above)
+
+
+def test_phash_near_dups_pigeonhole(spark):
+    """Band pigeonhole finds all pairs within max_hamming (< n_bands
+    flipped bits cannot hit every band), rejects far pairs, and raises
+    when the guarantee is violated."""
+    rng = np.random.RandomState(13)
+    hashes = [int(x) for x in rng.randint(-2**62, 2**62, size=40, dtype=np.int64)]
+    rows = [(f"im{i:03d}", hashes[i]) for i in range(40)]
+    rows.append(("im900", hashes[3] ^ 0b101))        # hamming 2 from im003
+    # hamming 2 with the SIGN bit flipped (int64 wraparound via numpy)
+    rows.append(("im901", int(np.int64(hashes[7]) ^ np.int64(-(2**63)) ^ np.int64(1))))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    out = dedup.phash_near_dups(df, max_hamming=3, n_bands=4).toPandas()
+    got = {(r.id_a, r.id_b) for _, r in out.iterrows()}
+    assert ("im003", "im900") in got
+    assert ("im007", "im901") in got  # negative/sign-bit hashes handled
+    assert (out["hamming"] <= 3).all()
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.phash_near_dups(df, max_hamming=4, n_bands=4)
