@@ -212,7 +212,7 @@ def with_window_bounds(
 
 def sliding_feature_windows(
     df: DataFrame,
-    feature_col: str,
+    feature_col: str | list[str],
     window_size: int,
     shift: int,
     entity: str = "image_id",
@@ -221,7 +221,11 @@ def sliding_feature_windows(
 ) -> DataFrame:
     """All full windows of `window_size` points stepping back from the
     series end by `shift`.  Output: (entity, win_end_ts, win_start_ts,
-    n_points, features array).
+    n_points, features array) — `features[i]` is a scalar when
+    feature_col is a string, or the per-position feature VECTOR
+    (array<double>, column order) when a list is passed, matching the
+    reference's full-matrix slices (np_array_extract_all_fixed_slices
+    returns [window, n_features] tensors).
 
     anchor rule: row i (1-based from series start, length n) hosts a
     window iff (n - i) % shift == 0 and i >= window_size — the same
@@ -239,11 +243,16 @@ def sliding_feature_windows(
     entity hashpartitioning: one exchange total.
     """
     W, S = window_size, shift
+    multi = isinstance(feature_col, (list, tuple))
+    if multi:
+        val_expr = F.array(*[F.col(c).cast("double") for c in feature_col]).alias("_val")
+    else:
+        val_expr = F.col(feature_col).alias("_val")
     w_order = Window.partitionBy(entity).orderBy("_ts")
     rows = df.select(
         F.col(entity),
         F.col(ts).alias("_ts"),
-        F.col(feature_col).alias("_val"),
+        val_expr,
     ).select(
         "*",
         F.row_number().over(w_order).alias("_rn"),

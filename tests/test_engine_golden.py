@@ -632,3 +632,29 @@ def test_sliding_agg_large_equals_naive_frame(spark, img_df):
     )
     assert np.allclose(naive["p_avg"], fast["p_avg"])
     assert naive["p_count"].tolist() == fast["p_cnt"].tolist()
+
+
+def test_sliding_feature_windows_multicol(img_df, img_pdf):
+    """Multi-column form returns the full [window, n_features] matrix
+    per anchor (np_array_extract_all_fixed_slices returns matrices,
+    not single series)."""
+    out = windows.sliding_feature_windows(
+        img_df, ["phash", "w"], window_size=8, shift=3
+    ).toPandas()
+    single = windows.sliding_feature_windows(
+        img_df, "phash", window_size=8, shift=3
+    ).toPandas()
+    assert len(out) == len(single)
+    for (_, m), (_, s) in zip(
+        out.sort_values(["image_id", "win_end_ts"]).iterrows(),
+        single.sort_values(["image_id", "win_end_ts"]).iterrows(),
+    ):
+        mat = np.array([list(r) for r in m.features])
+        assert mat.shape == (8, 2)
+        assert np.allclose(mat[:, 0], np.array(s.features, dtype=np.float64))
+        grp = img_pdf[img_pdf.image_id == m.image_id].sort_values("ts")
+        # second column is the matching w values at the same positions
+        idx = grp["phash"].astype(np.float64).tolist()
+        # verify column pairing: (phash, w) rows co-occur in the source
+        pair_set = set(zip(grp["phash"].astype(float), grp["w"].astype(float)))
+        assert all((a, b) in pair_set for a, b in mat)
