@@ -157,3 +157,76 @@ def stream_dedup_exact(
         .withWatermark(ts, watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+_SLMEAN_OUT = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("v_w_avg", T.DoubleType()),
+    ]
+)
+_SLMEAN_STATE = T.StructType(
+    [T.StructField("tail", T.ArrayType(T.DoubleType()))]
+)
+
+
+def _sliding_mean_fn_factory(window_size: int):
+    W = window_size
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        tail = list(state.get[0]) if state.exists else []
+        outs = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            v = pdf["v"].to_numpy(np.float64)
+            full = np.concatenate([np.asarray(tail, np.float64), v])
+            k = len(tail)
+            # trailing mean of the last <= W values ending at each new row
+            means = [
+                float(np.mean(full[max(0, k + i - W + 1) : k + i + 1]))
+                for i in range(len(v))
+            ]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "image_id": key[0],
+                        "ts": pdf["ts"].to_numpy(),
+                        "v": v,
+                        "v_w_avg": means,
+                    }
+                )
+            )
+            # plain python floats: numpy scalars don't survive the
+            # state pickle round trip (net.razorvine ClassDict error)
+            tail = [float(x) for x in full[-(W - 1):]] if W > 1 else []
+        state.update((tail,))
+        yield from outs
+
+    return fn
+
+
+def stream_sliding_mean(
+    stream: DataFrame, window_size: int = 8, value_col: str = "v"
+) -> DataFrame:
+    """Stateful trailing fixed-count mean across micro-batches: the
+    GroupState carries only the last window_size-1 values per entity
+    (BOUNDED state — the contract that makes the operator viable on an
+    unbounded stream), so each row's v_w_avg equals the batch
+    with_sliding_agg average when events arrive entity-ordered (the
+    engine's layout contract, same as stream_hamming_state)."""
+    named = stream.select(
+        "image_id", "ts", F.col(value_col).cast("double").alias("v")
+    )
+    return named.groupBy("image_id").applyInPandasWithState(
+        _sliding_mean_fn_factory(window_size),
+        outputStructType=_SLMEAN_OUT,
+        stateStructType=_SLMEAN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

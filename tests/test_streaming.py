@@ -23,7 +23,7 @@ def _run_stream(spark, df, name):
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if name == "ham" else "complete")
+        .outputMode("append" if name in ("ham", "slmean") else "complete")
         .trigger(availableNow=True)
         .start()
     )
@@ -122,3 +122,34 @@ def test_stream_dedup_exact_keeps_one_per_hash(spark, tmp_path):
     got = spark.sql("SELECT text, count(*) n FROM dedup_stream GROUP BY text").toPandas()
     assert set(got["text"]) == {"aa", "bb", "cc"}
     assert (got["n"] == 1).all()
+
+
+def test_stream_sliding_mean_matches_batch(spark, parquet_input):
+    """Bounded-state trailing mean (state = last W-1 values) equals the
+    batch rowsBetween average at every entity x timestamp."""
+    from gfwspark import windows
+
+    batch_df = spark.read.parquet(parquet_input).withColumn(
+        "v", F.col("phash").cast("double")
+    )
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(parquet_input)
+    got = (
+        _run_stream(
+            spark,
+            streaming.stream_sliding_mean(
+                stream_df.withColumn("v", F.col("phash").cast("double")),
+                window_size=5,
+            ),
+            "slmean",
+        )
+        .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    want = (
+        windows.with_sliding_agg(batch_df, "v", 5, aggs=("avg",), prefix="b")
+        .select("image_id", "ts", F.col("b_avg"))
+        .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    import numpy as np
+
+    assert len(got) == len(want)
+    assert np.allclose(got["v_w_avg"], want["b_avg"])
