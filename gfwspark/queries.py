@@ -77,6 +77,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "argmax_array",
     "score_rescale_softmax",
     "stable_hash_ids",
+    # registered during round 3 — rotated straight into the window so
+    # their first driver CORRECTNESS row lands in r3, not r4
+    "sliding_agg_large",
+    "kmeans_refine",
+    "ann_ivf_trained",
+    "tfidf_top_terms",
+    "embed_dedup_clusters",
+    "phash_near_dups",
     # headline / flagship set kept inside the window every round
     "flagship_featurize",
     "asof_join_union",
@@ -92,8 +100,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ffill_backfill",
     "weighted_sample",
     "entity_minmax_agg",
-    "topk_per_group",
-    "dedup_priority",
     "equi_join_broadcast",
     "semi_anti_join",
     "overlap_theta_join",
@@ -102,12 +108,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "minhash_lsh_dups",
     "ngram_jaccard_dups",
-    "ann_ivf_topk",
-    "train_info_cte",
-    "class_weights",
-    "token_explode_count",
-    "doc_stats",
 )
+# rotated out for round 3 (r2 driver-green, keep local parity coverage):
+# train_info_cte, class_weights, token_explode_count, doc_stats,
+# topk_per_group, dedup_priority, ann_ivf_topk (superseded in-window by
+# the composed ann_ivf_trained) — they follow in registration order.
 
 
 def _ordered(mapping: dict) -> dict:
