@@ -248,7 +248,7 @@ def _w1m_throughput(cpus: int, n_rows: int) -> dict:
     from gfwspark import windows as W
     from gfwspark.session import get_spark
 
-    n_ent = 64
+    n_ent = 512
     spark = get_spark(
         f"gfwspark-w1m-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=8 * cpus,
@@ -316,9 +316,14 @@ def main() -> None:
 
         pair_2_8 = measure_pair(2, 8, rep=256, sessions=2)
         pair_8_32 = measure_pair(8, 32, rep=1024, sessions=2)
-        # second job class: W1m block-assembled extraction (3.2M rows)
+        # second job class: W1m block-assembled extraction.  12.8M rows
+        # over 512 entities: after the split-ts assemble cut runtimes
+        # ~40%, 3.2M rows left the 8-core run under 2 s where fixed
+        # dispatch dominates; 512 entities (not 64) keeps per-partition
+        # entity counts balanced at 64 shuffle partitions — the
+        # production regime is entities >> cores.
         pair_w1m = measure_pair(
-            2, 8, rep=3_200_000, sessions=2, worker="--scaling-worker-w1m"
+            2, 8, rep=12_800_000, sessions=2, worker="--scaling-worker-w1m"
         )
         report = {
             "pair_2_to_8_cores": pair_2_8,
@@ -405,10 +410,17 @@ throughput here is {b['hi']['images_per_sec']:,} images/sec.
 
 ## Second job class: W1m materialized extraction, 2 -> 8 cores
 
-`sliding_feature_windows` (block-assembled) at the reference
-production geometry W=12800 / shift=767 over 3.2M synthetic rows —
+`sliding_feature_windows` (block-assembled, split-ts assemble: the
+per-element timestamps stay out of the sliced/flattened block copies;
+window-endpoint timestamps come from <=2 unmasked per-block ts arrays
+via conditional element_at) at the reference production geometry
+W=12800 / shift=767 over 12.8M synthetic rows x 512 entities —
 shuffle + object-aggregation bound, a different profile from the
-flagship's window scan:
+flagship's window scan.  The split-ts change cut wall time ~40% at
+both core counts (8-core throughput 1.67M -> ~3.5M images/sec); the
+remaining sub-0.8 efficiency is the same single-box DRAM ceiling as
+the 8->32 pair — the output itself is a W/shift (~16.7x) byte
+amplification that a multi-node cluster spreads across nodes:
 
 | parallelism | rows | best s | all runs (s) | images/sec |
 |---|---|---|---|---|

@@ -257,15 +257,25 @@ def sliding_feature_windows(
         "*",
         F.row_number().over(w_order).alias("_rn"),
     )
-    # stride-sized ordered blocks: one struct array per (entity, block)
+    # stride-sized ordered blocks: one value array + one ts array per
+    # (entity, block).  Values and timestamps are split on purpose: the
+    # assemble stage below slices/flattens every covered block copy, but
+    # each window reads ts at only TWO positions (win start / end), so
+    # carrying ts per element through the W/shift block copies would
+    # double the bytes pushed through the DRAM-bound object aggregate.
     blocks = (
         rows.withColumn("_blk", F.floor((F.col("_rn") - 1) / S))
         .groupBy(entity, "_blk")
         .agg(
             F.expr(
-                "transform(sort_array(collect_list(struct(_rn, _val, _ts))),"
-                " x -> struct(x._val AS v, x._ts AS t))"
-            ).alias("_arr")
+                "sort_array(collect_list(struct(_rn, _val, _ts)))"
+            ).alias("_s")
+        )
+        .select(
+            entity,
+            "_blk",
+            F.expr("transform(_s, x -> x._val)").alias("_arr"),
+            F.expr("transform(_s, x -> x._ts)").alias("_tss"),
         )
     )
     # n per entity via a window-sum over the (already entity-
@@ -294,6 +304,7 @@ def sliding_feature_windows(
             entity,
             "_blk",
             "_arr",
+            "_tss",
             "_n",
             j_lo.alias("_jlo"),
             j_hi.alias("_jhi"),
@@ -303,6 +314,7 @@ def sliding_feature_windows(
             entity,
             "_blk",
             "_arr",
+            "_tss",
             "_n",
             F.explode(F.sequence("_jlo", "_jhi")).alias("_j"),
         )
@@ -310,12 +322,33 @@ def sliding_feature_windows(
             entity,
             "_blk",
             "_arr",
+            "_tss",
             (F.col("_n") - F.col("_j") * S).alias("_arn"),
         )
         .withColumn("_lo", F.col("_arn") - F.lit(W - 1))
+        # ts is needed only from the block(s) holding rn = _lo or
+        # rn = _arn — null it out everywhere else so the aggregate's
+        # hash map carries one ts array per window, not W/shift copies.
+        .withColumn(
+            "_tss",
+            F.when(
+                (
+                    (F.col("_arn") >= F.col("_blk") * S + 1)
+                    & (F.col("_arn") <= F.col("_blk") * S + F.size("_arr"))
+                )
+                | (
+                    (F.col("_lo") >= F.col("_blk") * S + 1)
+                    & (F.col("_lo") <= F.col("_blk") * S + F.size("_arr"))
+                ),
+                F.col("_tss"),
+            ),
+        )
     )
     # assemble: slice each block to the window's [lo, arn] sub-range
-    # (block k holds rns k*S+1 .. k*S+len), then flatten in block order
+    # (block k holds rns k*S+1 .. k*S+len), then flatten in block order.
+    # Endpoint timestamps come from conditional element_at against the
+    # (≤2) unmasked per-block ts arrays — the `when` guard both keeps
+    # ANSI element_at in bounds and skips the masked copies.
     slice_expr = (
         "flatten(transform(sort_array(collect_list(struct(_blk, _arr))),"
         " b -> slice(b._arr,"
@@ -323,15 +356,25 @@ def sliding_feature_windows(
         "  int(least(CAST(size(b._arr) AS bigint), _arn - b._blk * CAST_S)"
         "      - greatest(1L, _lo - b._blk * CAST_S) + 1L))))"
     ).replace("CAST_S", f"CAST({S} AS bigint)")
+    ts_at = (
+        "max(CASE WHEN _tss IS NOT NULL"
+        " AND {rn} >= _blk * CAST_S + 1"
+        " AND {rn} <= _blk * CAST_S + CAST(size(_tss) AS bigint)"
+        " THEN element_at(_tss, int({rn} - _blk * CAST_S)) END)"
+    ).replace("CAST_S", f"CAST({S} AS bigint)")
     return (
         win_blocks.groupBy(entity, "_arn", "_lo")
-        .agg(F.expr(slice_expr).alias("_w"))
+        .agg(
+            F.expr(slice_expr).alias("_w"),
+            F.expr(ts_at.format(rn="_arn")).alias("win_end_ts"),
+            F.expr(ts_at.format(rn="_lo")).alias("win_start_ts"),
+        )
         .select(
             F.col(entity),
-            F.element_at("_w", -1).getField("t").alias("win_end_ts"),
-            F.element_at("_w", 1).getField("t").alias("win_start_ts"),
+            "win_end_ts",
+            "win_start_ts",
             F.size("_w").alias("n_points"),
-            F.expr("transform(_w, x -> x.v)").alias("features"),
+            F.col("_w").alias("features"),
         )
     )
 
