@@ -391,6 +391,9 @@ runs).
 
 **Scaling efficiency (N -> 4N): {a['efficiency']}** — measured as
 throughput(4N) / (4 x throughput(N)); target >= 0.8 per BASELINE.json.
+Single-run ratio-of-minima is host-sensitive (25%+ steal-time swings);
+BENCH/HISTORY.md tabulates the repeated identical-code runs per round —
+the honest spread, of which this file holds the latest run.
 This pair is the faithful proxy for N -> 4N *executors*: per-core
 memory-bandwidth share stays constant, as it does when a real cluster
 adds nodes.
