@@ -117,6 +117,19 @@ def test_sliding_feature_windows_no_prestride_materialization(spark):
     # row-count sanity: output rows = number of stride anchors, and the
     # exploded intermediate is bounded by ceil(W/shift) * n_input
     assert "Generate explode" in plan
+    # split-ts assemble: the final window aggregate collects value
+    # blocks only — per-element timestamps must not ride through the
+    # W/shift block copies (they'd double the bytes in the DRAM-bound
+    # object aggregate; endpoints come from conditional element_at on
+    # the <=2 unmasked per-block ts arrays instead).
+    assert "element_at(_tss" in plan, (
+        "endpoint timestamps must come from conditional element_at on "
+        "the per-block ts arrays"
+    )
+    assert ".t AS win_end_ts" not in plan and ".t AS win_start_ts" not in plan, (
+        "endpoint ts read from per-element structs — ts is riding "
+        "through the block copies again"
+    )
 
 
 def test_aligned_windows_stays_jvm_side(spark):
