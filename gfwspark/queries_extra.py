@@ -806,3 +806,22 @@ def q_sliding_agg_large(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "value", window_size=_SAL_W, entity="user_id", ts="ts", prefix="v",
         with_var=True,
     )
+
+
+# ---------------------------------------------------------------------
+# J1, fourth physical strategy: time-salted + re-merged as-of for
+# skewed entities (north-star: "skewed keys salted and re-merged").
+# Same oracle as the other three strategies — observational identity.
+# ---------------------------------------------------------------------
+
+
+@register("asof_join_chunked", _ASOF_ORACLE)
+def q_asof_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = tables.image_caption_from_events(spark, sf_dir).select(
+        "image_id", "ts", "event_id"
+    )
+    # ~1-week chunks over the sf events' ~2-year span: every entity
+    # salts into dozens of parallel slices at any sf
+    return _asof.asof_join_chunked(
+        img, _ann_dedup(spark, sf_dir), chunk_s=7 * 86400, value_cols=("label",)
+    )

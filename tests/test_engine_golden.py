@@ -658,3 +658,50 @@ def test_sliding_feature_windows_multicol(img_df, img_pdf):
         # verify column pairing: (phash, w) rows co-occur in the source
         pair_set = set(zip(grp["phash"].astype(float), grp["w"].astype(float)))
         assert all((a, b) in pair_set for a, b in mat)
+
+
+def test_asof_chunked_equals_union(img_df, ann_df):
+    """The time-salted + re-merged strategy is observationally identical
+    to the union form, including the hostile edges: an annotation
+    landing exactly on a chunk boundary, a fact chunk with no
+    annotation rows (carry must ffill across empty chunks), a fact ts
+    equal to an annotation ts (start-inclusive), and entities with no
+    annotations at all."""
+    ann1 = ann_df.groupBy("image_id", "start_ts").agg(F.max("value").alias("value"))
+    small = img_df.select("image_id", "ts", "phash")
+    a = (
+        asof.asof_join_union(small, ann1, value_cols=("value",))
+        .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    # tiny chunks (60 s) maximize boundary crossings and empty chunks;
+    # a chunk width of one day exercises the coarse path
+    for chunk_s in (60, 86400):
+        b = (
+            asof.asof_join_chunked(small, ann1, chunk_s=chunk_s, value_cols=("value",))
+            .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_asof_chunked_boundary_annotation(spark):
+    """An annotation exactly at a chunk boundary ts belongs to the NEXT
+    chunk's local merge but must still be carried to facts later in
+    that same chunk AND to facts in subsequent chunks; a fact at the
+    exact boundary ts sees it (start-inclusive)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    chunk_s = 3600
+    facts = spark.createDataFrame(
+        [("e", base + dt.timedelta(seconds=s)) for s in (0, 3599, 3600, 3601, 7300)],
+        "image_id string, ts timestamp",
+    )
+    ann = spark.createDataFrame(
+        [("e", base, "a0"), ("e", base + dt.timedelta(seconds=3600), "a1")],
+        "image_id string, start_ts timestamp, label string",
+    )
+    out = (
+        asof.asof_join_chunked(facts, ann, chunk_s=chunk_s, value_cols=("label",))
+        .toPandas().sort_values("ts")["asof_label"].tolist()
+    )
+    assert out == ["a0", "a0", "a1", "a1", "a1"]
