@@ -23,7 +23,7 @@ def _run_stream(spark, df, name):
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if name in ("ham", "slmean") else "complete")
+        .outputMode("append" if name in ("ham", "slmean", "asoflbl") else "complete")
         .trigger(availableNow=True)
         .start()
     )
@@ -153,3 +153,27 @@ def test_stream_sliding_mean_matches_batch(spark, parquet_input):
 
     assert len(got) == len(want)
     assert np.allclose(got["v_w_avg"], want["b_avg"])
+
+
+def test_stream_asof_label_matches_batch(spark, parquet_input):
+    """Stream-static as-of converges to the batch broadcast strategy
+    when the fact stream is replayed with availableNow."""
+    from gfwspark import asof
+
+    batch_df = spark.read.parquet(parquet_input)
+    ann = (
+        batch_df.groupBy("image_id")
+        .agg(F.min("ts").alias("start_ts"))
+        .select("image_id", "start_ts", F.lit("first").alias("label"))
+    )
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(parquet_input)
+
+    got = _run_stream(
+        spark, streaming.stream_asof_label(stream_df, ann), "asoflbl"
+    ).toPandas()
+    want = asof.asof_join_broadcast(batch_df, ann).toPandas()
+
+    key = ["image_id", "ts"]
+    a = got.sort_values(key).reset_index(drop=True)[key + ["asof_label"]]
+    b = want.sort_values(key).reset_index(drop=True)[key + ["asof_label"]]
+    pd.testing.assert_frame_equal(a, b)
