@@ -478,3 +478,92 @@ def asof_join_chunked(
             for c in value_cols
         ],
     )
+
+
+def asof_join(
+    facts: DataFrame,
+    annotations: DataFrame,
+    entity: str = "image_id",
+    ts: str = "ts",
+    ann_ts: str = "start_ts",
+    value_cols: tuple[str, ...] = ("label",),
+    strategy: str = "auto",
+    hot_threshold_rows: int = 3_000_000,
+    chunk_s: int | None = None,
+    min_chunk_s: int = 3600,
+) -> DataFrame:
+    """Strategy-dispatched backward as-of join (the engine's front door).
+
+    ``strategy`` picks the physical plan; all strategies are
+    observationally identical (shared DuckDB ASOF oracle + goldens):
+
+    - ``'union'``    — asof_join_union (default at scale; one shuffle).
+    - ``'cogroup'``  — asof_join_cogroup (Arrow merge_asof; wide payloads).
+    - ``'chunked'``  — asof_join_chunked (time-salted; hot entities).
+      Requires ``chunk_s``.
+    - ``'auto'``     — measure per-entity fact counts once (a tiny
+      groupBy count + min/max-ts agg whose output is only the keys
+      above ``hot_threshold_rows``), then route HOT entities through
+      the chunked kernel and everything else through the union form,
+      re-unioned.  The crossover default (3M rows/entity) is the
+      measured break-even of chunked-vs-union on this engine
+      (BENCH/HISTORY.md r3: 2.8x at 12.8M rows/entity, ~parity at
+      3-5M).  Cold traffic pays zero extra cost; hot traffic stops
+      serializing into single window tasks.
+
+    Auto's decision pass is one map-side-combined groupBy over the fact
+    table producing O(hot entities) rows — at 10^12 rows that is the
+    cheap pre-scan that saves the serialized hot-entity window.  When
+    the skew profile is already known, call the strategies directly
+    (or pre-filter with layout.detect_skew) and skip the pass.
+
+    ``chunk_s`` (auto mode): derived so each hot entity spans roughly
+    ``4 x defaultParallelism`` chunks of its observed time span,
+    floored at ``min_chunk_s`` — coarse chunks, per the chunked-kernel
+    sizing rule (thousands of rows per chunk; Arrow overhead amortized).
+    Pass an explicit ``chunk_s`` to override.
+    """
+    if strategy == "union":
+        return asof_join_union(facts, annotations, entity, ts, ann_ts, value_cols)
+    if strategy == "cogroup":
+        return asof_join_cogroup(facts, annotations, entity, ts, ann_ts, value_cols)
+    if strategy == "chunked":
+        if chunk_s is None:
+            raise ValueError("asof_join(strategy='chunked') requires chunk_s")
+        return asof_join_chunked(
+            facts, annotations, chunk_s, entity, ts, ann_ts, value_cols
+        )
+    if strategy != "auto":
+        raise ValueError(f"unknown as-of strategy {strategy!r}")
+
+    from gfwspark.util import epoch_us
+
+    hot_rows = (
+        facts.groupBy(entity)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(epoch_us(ts)).alias("lo_us"),
+            F.max(epoch_us(ts)).alias("hi_us"),
+        )
+        .filter(F.col("n_rows") > hot_threshold_rows)
+        .collect()
+    )
+    if not hot_rows:
+        return asof_join_union(facts, annotations, entity, ts, ann_ts, value_cols)
+
+    hot_ids = sorted(r[entity] for r in hot_rows)
+    if chunk_s is None:
+        span_s = max((r["hi_us"] - r["lo_us"]) // 1_000_000 for r in hot_rows)
+        n_chunks = 4 * facts.sparkSession.sparkContext.defaultParallelism
+        chunk_s = max(int(span_s // n_chunks) + 1, min_chunk_s)
+
+    is_hot = F.col(entity).isin(hot_ids)
+    cold = asof_join_union(
+        facts.filter(~is_hot), annotations.filter(~is_hot), entity, ts, ann_ts,
+        value_cols,
+    )
+    hot = asof_join_chunked(
+        facts.filter(is_hot), annotations.filter(is_hot), chunk_s, entity, ts,
+        ann_ts, value_cols,
+    )
+    return cold.unionByName(hot)

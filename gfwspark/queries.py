@@ -43,49 +43,58 @@ def register(name: str, oracle: str | None):
 # Driver gate ordering.
 #
 # The round driver verifies the FIRST 50 entries of all_queries() in
-# iteration order (CORRECTNESS_r{N}.json).  Rounds 1-2 gated the first
-# 50 registrations; the 22 queries registered after them (the W3/W4
-# samplers, window extractors, chunked kernel, asof broadcast, the
-# zscore/percentile family, stratified sampling, batch packing) only
-# had local parity evidence.  _DRIVER_PRIORITY rotates those 22 to the
-# front of the window for round 3; everything else follows in original
-# registration order (the rotated-out queries keep their r1/r2 driver
-# rows plus the local dtype-strict gate in tests/test_oracle_parity.py).
+# iteration order (CORRECTNESS_r{N}.json).  _DRIVER_PRIORITY rotates
+# which queries occupy the window each round so every registered query
+# carries a driver-green row at most one round old; everything else
+# follows in original registration order and keeps its prior driver
+# rows plus the local dtype-strict gate in tests/test_oracle_parity.py
+# (which replays ALL oracles at the driver's sf0.01 every session).
+#
+# Round-4 rotation: (a) debut rows for asof_join_chunked (registered
+# late in r3, never driver-sampled) and the two new r4 queries; (b)
+# stable_hash_ids re-gated now that it has a golden-as-oracle VALUES
+# table instead of `no_oracle`; (c) the 28 queries whose last driver
+# row is round 2 (metrics / ANN / text family — shared infrastructure
+# under them changed in r3); (d) the 18-query flagship set kept inside
+# the window every round.  4 + 28 + 18 = 50.
 # ---------------------------------------------------------------------
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-gated before round 3 (registered past the first-50 window)
-    "range_anchored_windows",
-    "sampled_time_windows",
-    "range_feature_windows",
-    "sliding_feature_windows",
-    "aligned_windows",
-    "repeat_pad_windows",
-    "repeat_pad_roll",
-    "chunked_time_range",
-    "time_range_window",
-    "asof_join_broadcast",
-    "expanding_zscore",
-    "per_entity_zscore",
-    "percentiles",
-    "finiteness_filter",
-    "log_weighted_mean",
-    "salted_two_phase_agg",
-    "stratified_sample",
-    "pack_token_batches",
-    "multilabel_explode",
-    "argmax_array",
-    "score_rescale_softmax",
+    # debut rows (registered late-r3 / new in r4) + re-oracled golden
+    "asof_join_chunked",
+    "asof_join_auto",
+    "phash_dedup_clusters",
     "stable_hash_ids",
-    # registered during round 3 — rotated straight into the window so
-    # their first driver CORRECTNESS row lands in r3, not r4
-    "sliding_agg_large",
-    "kmeans_refine",
-    "ann_ivf_trained",
-    "tfidf_top_terms",
-    "embed_dedup_clusters",
-    "phash_near_dups",
-    # headline / flagship set kept inside the window every round
+    # last driver row is round 2 — refresh (28)
+    "topk_per_group",
+    "dedup_priority",
+    "class_weights",
+    "token_explode_count",
+    "doc_stats",
+    "token_counts",
+    "doc_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "simhash",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "embedding_near_dups",
+    "ann_lsh_multiprobe",
+    "ann_ivf_topk",
+    "score_consolidation",
+    "masked_attribute_mean",
+    "time_weighted_entity_weight",
+    "confusion_matrix",
+    "precision_recall_f1",
+    "composite_rollup",
+    "normalization_stats",
+    "class_prevalence",
+    "multihot_encode",
+    "semiyear_union",
+    "id_set_ops",
+    "train_info_cte",
+    # headline / flagship set kept inside the window every round (18)
     "flagship_featurize",
     "asof_join_union",
     "asof_join_cogroup",
@@ -104,15 +113,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "semi_anti_join",
     "overlap_theta_join",
     "hash_split",
-    "dedup_exact",
-    "dedup_clusters",
-    "minhash_lsh_dups",
-    "ngram_jaccard_dups",
 )
-# rotated out for round 3 (r2 driver-green, keep local parity coverage):
-# train_info_cte, class_weights, token_explode_count, doc_stats,
-# topk_per_group, dedup_priority, ann_ivf_topk (superseded in-window by
-# the composed ann_ivf_trained) — they follow in registration order.
+# rotated out for round 4 (r3 driver-green, keep local parity coverage):
+# the W1-W7 sampler/extractor family, zscore/percentile family,
+# dedup_exact/dedup_clusters/minhash_lsh_dups/ngram_jaccard_dups,
+# kmeans_refine, ann_ivf_trained, tfidf_top_terms, embed_dedup_clusters,
+# phash_near_dups, sliding_agg_large — they follow in registration order.
 
 
 def _ordered(mapping: dict) -> dict:

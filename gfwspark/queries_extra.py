@@ -157,11 +157,18 @@ def q_multilabel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# stable_hash (F1, blake2b pandas UDF) — no DuckDB blake2b: rows-only
+# stable_hash (F1, blake2b pandas UDF).  DuckDB has no blake2b, so the
+# oracle is a GOLDEN-AS-ORACLE VALUES table: expected values for the
+# deterministic sf0.01 input, generated independently with Python
+# hashlib from the documented rule (see gfwspark/golden.py; reference
+# style: classification/metadata_test.py:77 pins hash values the same
+# way).  Exact pinned goldens also live in tests/test_sources.py.
 # ---------------------------------------------------------------------
 
+from gfwspark.golden import stable_hash_values_sql as _stable_hash_values_sql
 
-@register("stable_hash_ids", None)
+
+@register("stable_hash_ids", _stable_hash_values_sql())
 def q_stable_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tables.load_table(spark, sf_dir, "customer")
     return c.select(
@@ -824,4 +831,26 @@ def q_asof_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # salts into dozens of parallel slices at any sf
     return _asof.asof_join_chunked(
         img, _ann_dedup(spark, sf_dir), chunk_s=7 * 86400, value_cols=("label",)
+    )
+
+
+# ---------------------------------------------------------------------
+# J1 front door: strategy='auto' dispatch.  hot_threshold_rows is set
+# low here so the sf0.01 fixture genuinely exercises the MIXED plan
+# (some entities routed through the chunked kernel, the rest through
+# the union form) — production keeps the measured 3M-row crossover.
+# ---------------------------------------------------------------------
+
+
+@register("asof_join_auto", _ASOF_ORACLE)
+def q_asof_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = tables.image_caption_from_events(spark, sf_dir).select(
+        "image_id", "ts", "event_id"
+    )
+    return _asof.asof_join(
+        img,
+        _ann_dedup(spark, sf_dir),
+        value_cols=("label",),
+        strategy="auto",
+        hot_threshold_rows=50,
     )

@@ -821,3 +821,70 @@ def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = img.select("image_id", "phash").unionByName(planted)
     out = dedup.phash_near_dups(base, max_hamming=3, n_bands=4)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# ---------------------------------------------------------------------
+# End-to-end pHash image dedup: pigeonhole-banded near-dup PAIRS
+# resolved into duplicate CLUSTERS with keep/drop — the image-axis twin
+# of embed_dedup_clusters, and the pipeline a 10^12-image corpus runs
+# to actually shed near-duplicate images (reference analog: the
+# dedup-with-priority consolidation the metadata pipeline performs,
+# metadata.py:268-272; here the similarity key is the perceptual hash).
+# Same planted 2-bit copies as phash_near_dups keep the row non-vacuous
+# and chain a->a_copy so clusters have size > 1.
+# ---------------------------------------------------------------------
+
+_PHASH_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+img AS ({_DUCK_IMG_ML}),
+base AS (
+  SELECT image_id, phash FROM img
+  UNION ALL
+  SELECT image_id || '_copy' AS image_id, xor(phash, 5) AS phash
+  FROM img WHERE image_id <= 'img_000014' AND ts < timestamp '2024-01-02'
+),
+bands AS (
+  SELECT image_id, phash, b.band_idx,
+    ((phash >> (16 * b.band_idx)) & 65535) AS band_val
+  FROM base, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+),
+dups AS (
+  SELECT DISTINCT a.image_id AS doc_a, b.image_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM dups UNION SELECT doc_b, doc_a FROM dups),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+roots AS (SELECT id, min(r) AS cluster_root FROM reach GROUP BY id)
+SELECT r.id AS doc_id, r.cluster_root,
+  s.cluster_size, r.id = r.cluster_root AS keep
+FROM roots r
+JOIN (SELECT cluster_root, count(*) AS cluster_size
+      FROM roots GROUP BY cluster_root) s USING (cluster_root)
+"""
+
+
+@register("phash_dedup_clusters", _PHASH_DEDUP_CLUSTERS_ORACLE)
+def q_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = tables.image_caption_from_events(spark, sf_dir).select(
+        "image_id", "ts", "phash"
+    )
+    planted = img.filter(
+        (F.col("image_id") <= "img_000014")
+        & (F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+    ).select(
+        F.concat(F.col("image_id"), F.lit("_copy")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(5)).alias("phash"),
+    )
+    base = img.select("image_id", "phash").unionByName(planted)
+    pairs = dedup.phash_near_dups(base, max_hamming=3, n_bands=4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return dedup.dup_clusters(pairs)

@@ -705,3 +705,56 @@ def test_asof_chunked_boundary_annotation(spark):
         .toPandas().sort_values("ts")["asof_label"].tolist()
     )
     assert out == ["a0", "a0", "a1", "a1", "a1"]
+
+
+def test_asof_auto_dispatch_equivalence(img_df, ann_df):
+    """asof_join(strategy='auto') equals the union form regardless of
+    which route the skew probe picks: all-cold (threshold above every
+    entity), all-hot, and MIXED (some entities chunked, some union —
+    the production shape the dispatcher exists for)."""
+    ann1 = ann_df.groupBy("image_id", "start_ts").agg(F.max("value").alias("value"))
+    small = img_df.select("image_id", "ts", "phash")
+    expected = (
+        asof.asof_join_union(small, ann1, value_cols=("value",))
+        .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    counts = sorted(
+        r["n"] for r in small.groupBy("image_id").agg(F.count("*").alias("n")).collect()
+    )
+    # thresholds: above max (pure union), below min (every entity hot),
+    # median (mixed routing)
+    for thr in (counts[-1] + 1, counts[0] - 1, counts[len(counts) // 2]):
+        got = (
+            asof.asof_join(
+                small, ann1, value_cols=("value",), strategy="auto",
+                hot_threshold_rows=thr,
+            )
+            .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(expected, got, check_dtype=False)
+
+
+def test_asof_auto_explicit_strategies(img_df, ann_df):
+    """Explicit strategy names dispatch to the matching kernels and
+    agree; unknown names and chunked-without-chunk_s raise."""
+    import pytest as _pytest
+
+    ann1 = ann_df.groupBy("image_id", "start_ts").agg(F.max("value").alias("value"))
+    small = img_df.select("image_id", "ts", "phash")
+    a = (
+        asof.asof_join(small, ann1, value_cols=("value",), strategy="union")
+        .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    for kw in (
+        dict(strategy="cogroup"),
+        dict(strategy="chunked", chunk_s=86400),
+    ):
+        b = (
+            asof.asof_join(small, ann1, value_cols=("value",), **kw)
+            .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    with _pytest.raises(ValueError, match="chunk_s"):
+        asof.asof_join(small, ann1, strategy="chunked")
+    with _pytest.raises(ValueError, match="strategy"):
+        asof.asof_join(small, ann1, strategy="nope")
