@@ -82,8 +82,68 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     timings["featurize_full"] = _featurize_full_geometry(spark)
+    timings.update(_asof_skew_bench(spark))
     spark.stop()
     return timings
+
+
+def _asof_skew_bench(spark) -> dict[str, float]:
+    """Strategy-dispatch evidence on a SKEWED as-of fixture: one hot
+    entity (3.2M rows — past the measured ~3M chunked-vs-union
+    crossover) plus 32 cold entities x 50k rows, 64 annotations per
+    entity.  `asof_join_union` serializes the hot entity's window into
+    a single task; `asof_join(strategy='auto')` routes the hot entity
+    through the time-salted chunked kernel (its skew pre-scan included
+    in the timing — that is the honest cost of auto) and the cold
+    entities through the union form.  The three entries let the
+    per-round JSON show auto ~ best-of-both."""
+    import pyspark.sql.functions as F
+
+    from gfwspark import asof as A
+
+    base_s = 1_700_000_000
+    hot_pts, n_cold, cold_pts, n_ann = 3_200_000, 32, 50_000, 64
+    hot = spark.range(hot_pts).select(
+        F.lit("hot").alias("image_id"),
+        F.timestamp_seconds(F.lit(base_s) + F.col("id")).alias("ts"),
+    )
+    cold = spark.range(n_cold * cold_pts).select(
+        F.concat(F.lit("c"), (F.col("id") % n_cold).cast("string")).alias(
+            "image_id"
+        ),
+        F.timestamp_seconds(
+            F.lit(base_s) + (F.col("id") / n_cold).cast("long")
+        ).alias("ts"),
+    )
+    facts = hot.unionByName(cold)
+    ents = facts.select("image_id").distinct()
+    ann = (
+        ents.crossJoin(spark.range(n_ann).select(F.col("id").alias("k")))
+        .select(
+            "image_id",
+            F.timestamp_seconds(
+                F.lit(base_s) + F.col("k") * (hot_pts // n_ann)
+            ).alias("start_ts"),
+            F.concat(F.lit("L"), F.col("k")).alias("label"),
+        )
+    )
+    span_s = hot_pts
+    chunk_s = max(span_s // (4 * spark.sparkContext.defaultParallelism), 3600)
+    runs = {
+        "asof_skew_union": lambda: A.asof_join_union(facts, ann),
+        "asof_skew_chunked": lambda: A.asof_join_chunked(facts, ann, chunk_s),
+        "asof_skew_auto": lambda: A.asof_join(facts, ann, strategy="auto"),
+    }
+    out: dict[str, float] = {}
+    for name, build in runs.items():
+        _materialize(build())  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _materialize(build())
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
 
 
 def _featurize_full_geometry(spark) -> float:

@@ -375,6 +375,7 @@ def asof_join_chunked(
     ts: str = "ts",
     ann_ts: str = "start_ts",
     value_cols: tuple[str, ...] = ("label",),
+    hot_ids: list | None = None,
 ) -> DataFrame:
     """Backward as-of for SKEWED entities: time-salted + re-merged.
 
@@ -404,6 +405,14 @@ def asof_join_chunked(
     other strategies.  Chunk sizing follows chunked_time_range_agg:
     pick chunk_s coarse (thousands of rows per chunk) so the summary
     frame stays tiny and per-chunk Arrow/agg overhead is amortized.
+
+    ``hot_ids``: when given (the layout.salted pattern: salt only the
+    skewed keys), ONLY those entities are time-chunked; every other
+    entity gets the constant chunk 0, i.e. exactly the union-form
+    single window per entity, inside the SAME single pipeline — one
+    scan of the fact table, one (entity, chunk) shuffle, one tiny
+    carry join.  This is how asof_join(strategy='auto') mixes the two
+    strategies without running two pipelines over the input.
     """
     from gfwspark.util import epoch_us
 
@@ -423,9 +432,12 @@ def asof_join_chunked(
             for c in value_cols
         ],
     )
-    u = f.unionByName(a, allowMissingColumns=True).withColumn(
-        "_chunk", F.floor(epoch_us(ts) / F.lit(chunk_us))
-    )
+    chunk_expr = F.floor(epoch_us(ts) / F.lit(chunk_us))
+    if hot_ids is not None:
+        chunk_expr = F.when(F.col(entity).isin(list(hot_ids)), chunk_expr).otherwise(
+            F.lit(0).cast("long")
+        )
+    u = f.unionByName(a, allowMissingColumns=True).withColumn("_chunk", chunk_expr)
     # local merge: the union-form carry, salted by (entity, chunk)
     w_in = (
         Window.partitionBy(entity, "_chunk")
@@ -503,13 +515,16 @@ def asof_join(
       Requires ``chunk_s``.
     - ``'auto'``     — measure per-entity fact counts once (a tiny
       groupBy count + min/max-ts agg whose output is only the keys
-      above ``hot_threshold_rows``), then route HOT entities through
-      the chunked kernel and everything else through the union form,
-      re-unioned.  The crossover default (3M rows/entity) is the
-      measured break-even of chunked-vs-union on this engine
+      above ``hot_threshold_rows``), then run ONE chunked pipeline in
+      which only the hot keys are time-salted (``hot_ids``) — cold
+      entities get the constant chunk 0, which degenerates to exactly
+      the union-form window per entity.  Single scan of the facts,
+      single (entity, chunk) shuffle, one tiny carry join; no second
+      pipeline over the input.  The crossover default (3M rows/entity)
+      is the measured break-even of chunked-vs-union on this engine
       (BENCH/HISTORY.md r3: 2.8x at 12.8M rows/entity, ~parity at
-      3-5M).  Cold traffic pays zero extra cost; hot traffic stops
-      serializing into single window tasks.
+      3-5M).  Cold traffic pays only the salting CASE expression; hot
+      traffic stops serializing into single window tasks.
 
     Auto's decision pass is one map-side-combined groupBy over the fact
     table producing O(hot entities) rows — at 10^12 rows that is the
@@ -557,13 +572,7 @@ def asof_join(
         n_chunks = 4 * facts.sparkSession.sparkContext.defaultParallelism
         chunk_s = max(int(span_s // n_chunks) + 1, min_chunk_s)
 
-    is_hot = F.col(entity).isin(hot_ids)
-    cold = asof_join_union(
-        facts.filter(~is_hot), annotations.filter(~is_hot), entity, ts, ann_ts,
-        value_cols,
+    return asof_join_chunked(
+        facts, annotations, chunk_s, entity, ts, ann_ts, value_cols,
+        hot_ids=hot_ids,
     )
-    hot = asof_join_chunked(
-        facts.filter(is_hot), annotations.filter(is_hot), chunk_s, entity, ts,
-        ann_ts, value_cols,
-    )
-    return cold.unionByName(hot)

@@ -203,8 +203,21 @@ _DCT32 = _dct_matrix(_PHASH_N)
 
 def _area_mean_32(gray: np.ndarray) -> np.ndarray:
     """Area-mean downsample of an (h, w) array to 32x32 via reduceat
-    over equal index buckets — deterministic for any input size."""
+    over equal index buckets — deterministic for any input size.
+
+    Dimensions below 32 px are first nearest-neighbor upsampled by an
+    integer repeat factor: with h < 32 the bucket index list repeats
+    values and reduceat would produce zero-width buckets (0 counts →
+    NaN-driven degenerate hashes).  Integer repeat is exact — the
+    area means of the repeated image equal means over the original
+    pixels — and keeps tiny thumbnails hashable."""
     h, w = gray.shape
+    if h < _PHASH_N:
+        gray = np.repeat(gray, -(-_PHASH_N // h), axis=0)
+        h = gray.shape[0]
+    if w < _PHASH_N:
+        gray = np.repeat(gray, -(-_PHASH_N // w), axis=1)
+        w = gray.shape[1]
     rb = (np.arange(_PHASH_N) * h) // _PHASH_N
     cb = (np.arange(_PHASH_N) * w) // _PHASH_N
     sums = np.add.reduceat(np.add.reduceat(gray.astype(np.float64), rb, axis=0), cb, axis=1)

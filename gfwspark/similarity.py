@@ -407,6 +407,8 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: DataFrame | None = None,
+    fit_sample: int | None = None,
+    sample_seed: int = 42,
 ) -> DataFrame:
     """Lloyd's k-means, fully deterministic: init = the k smallest-id
     vectors (or a caller-supplied (cid, vec) frame), squared-euclidean
@@ -418,7 +420,27 @@ def kmeans_fit(
     Returns the (cid, embedding double[]) centroid table — feed it to
     ivf_assign / ivf_topk.  Each iteration materializes only the k
     centroids on the driver (k x dim doubles); the corpus is touched
-    map-side per round."""
+    map-side per round.
+
+    100-TB pattern: the n_iter sequential full-corpus assignment
+    passes are the cost at scale — pass ``fit_sample=n`` to fit the
+    centroids on a deterministic md5-rank sample of n vectors (pure
+    function of (id, seed): identical at any partition count; a
+    distributed TakeOrdered, no global sort materialization), then run
+    ONE kmeans_assign / ivf_assign pass over the full corpus with the
+    returned centroids.  That is how every production-scale k-means is
+    trained; the full-corpus loop stays available for small frames and
+    oracle parity.  ``fit_sample >= |df|`` keeps every row, making the
+    sampled fit bit-identical to the unsampled one (pinned by test)."""
+    if fit_sample is not None:
+        from gfwspark.text import token_hash32
+
+        u = token_hash32(
+            F.concat_ws(
+                "|", F.col(id_col).cast("string"), F.lit(str(sample_seed))
+            )
+        )
+        df = df.orderBy(u, F.col(id_col)).limit(fit_sample)
     if init is None:
         w = Window.orderBy(id_col)
         init = (

@@ -18,7 +18,11 @@ run incrementally:
 
 Late data beyond the watermark is dropped (the batch engine has no
 late data; the watermark bound makes the streaming results converge to
-the batch results when the source is replayed with availableNow)."""
+the batch results when the source is replayed with availableNow).
+Spark >= 3.4 subtlety, pinned by the late-fixture tests: late-event
+FILTERING in batch N uses the watermark as of batch N-1 while state
+EVICTION uses the current one, so a row is only dropped once the
+watermark that outran it is a full batch old."""
 
 from __future__ import annotations
 

@@ -110,7 +110,15 @@ def with_sliding_agg_large(
     (run_training.py:26-40) in leakage-free trailing-window form;
     E[x^2]-E[x]^2 is computed from exact decimal sums rounded to 6
     decimals (engine float policy), so catastrophic cancellation of a
-    float cumsum never enters.  Min/max need order statistics that
+    float cumsum never enters.
+
+    Precision contract: inputs are QUANTIZED to 6 decimal digits by
+    the decimal(38,6) cast before summing — the engine-wide float
+    policy (and what the DuckDB oracle computes).  Equality with the
+    naive with_sliding_agg therefore holds exactly for values
+    representable in 6 decimals (ints, fixed-point measurements);
+    values with |x| < 1e-6 or more than 6 fractional digits diverge
+    by the quantization error.  Min/max need order statistics that
     have no difference form — at big W use chunked_time_range_agg's
     two-stack kernel instead."""
     order = [F.col(ts).asc()] + (

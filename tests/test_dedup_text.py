@@ -384,3 +384,35 @@ def test_phash_near_dups_pigeonhole(spark):
     assert (out["hamming"] <= 3).all()
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.phash_near_dups(df, max_hamming=4, n_bands=4)
+
+
+def test_kmeans_fit_sample_equals_full_at_corpus_size(spark):
+    """fit_sample >= |corpus| keeps every row, so the sampled fit is
+    bit-identical to the unsampled one (the documented 100-TB
+    sample-then-fit pattern degrades gracefully to exact Lloyd)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(60, dtype=np.int64),
+            "embedding": [rng.normal(size=4).round(3).tolist() for _ in range(60)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    full = similarity.kmeans_fit(df, k=4, n_iter=3).toPandas().sort_values("cid")
+    samp = (
+        similarity.kmeans_fit(df, k=4, n_iter=3, fit_sample=60)
+        .toPandas()
+        .sort_values("cid")
+    )
+    assert [list(v) for v in full["embedding"]] == [list(v) for v in samp["embedding"]]
+    # a strict subsample still returns k valid centroids deterministically
+    s1 = similarity.kmeans_fit(df, k=4, n_iter=3, fit_sample=20).toPandas()
+    s2 = similarity.kmeans_fit(
+        df.repartition(8), k=4, n_iter=3, fit_sample=20
+    ).toPandas()
+    assert [list(v) for v in s1.sort_values("cid")["embedding"]] == [
+        list(v) for v in s2.sort_values("cid")["embedding"]
+    ]

@@ -141,3 +141,24 @@ def test_with_phash_spark_plumbing(spark):
         assert int(r["phash_px"]) == multimodal.phash64(px)
     plan = multimodal.with_phash(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # Arrow path, not row-at-a-time
+
+
+def test_phash64_small_images():
+    """Images below the 32-px DCT grid are integer-repeat upsampled
+    before hashing: finite hashes, no zero-width reduceat buckets, and
+    a 16x16 image hashes identically to its exact 2x nearest-neighbor
+    upsample (the area means coincide by construction)."""
+    import warnings
+
+    rng = np.random.default_rng(7)
+    small = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # NaN paths emit RuntimeWarnings
+        h_small = multimodal.phash64(small)
+        for shape in ((5, 40, 3), (40, 5, 3), (3, 3, 3), (1, 1, 3)):
+            hv = multimodal.phash64(
+                rng.integers(0, 256, size=shape, dtype=np.uint8)
+            )
+            assert -(2**63) <= hv < 2**63
+    up = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+    assert multimodal.phash64(up) == h_small

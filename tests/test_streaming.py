@@ -177,3 +177,125 @@ def test_stream_asof_label_matches_batch(spark, parquet_input):
     a = got.sort_values(key).reset_index(drop=True)[key + ["asof_label"]]
     b = want.sort_values(key).reset_index(drop=True)[key + ["asof_label"]]
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------
+# Late / out-of-order data: the watermark CONTRACT, not just in-order
+# availableNow convergence.  Three files become three micro-batches
+# (maxFilesPerTrigger=1; FileStreamSource orders unread files by
+# modification time, and the sleeps give the writes distinct mtimes).
+# Spark >= 3.4 runs TWO watermarks per stateful operator: state
+# EVICTION uses the watermark updated by the previous batch, but
+# LATE-EVENT filtering uses the watermark one batch older (so rows
+# arriving in the same batch that first advances the watermark are not
+# retroactively dropped).  Hence three batches: batch 0's sentinel
+# (12:00) advances the watermark to 11:50; batch 1 makes 11:50 the
+# late-event bound; batch 2 replays a 10:30 row (older than the bound:
+# DROPPED, visible in numRowsDroppedByWatermark) plus an on-time row
+# (EMITTED).  Update output mode for the tumbling aggregation so drop
+# + eviction are actually in force (complete mode retains all state by
+# contract and never drops).
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def late_fixture(spark, tmp_path_factory):
+    import datetime as dt
+    import time
+
+    path = str(tmp_path_factory.mktemp("late") / "img")
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(e, t0 + dt.timedelta(minutes=m), float(v)) for e, m, v in rows],
+            "image_id string, ts timestamp, w double",
+        ).coalesce(1)
+
+    # batch 0: an old cluster at 10:00-10:02 and a sentinel at 12:00
+    # that drags the watermark (10 min delay) up to 11:50
+    mk([("e", 0, 1.0), ("e", 1, 2.0), ("e", 2, 3.0), ("e", 120, 9.0)]).write.mode(
+        "append"
+    ).parquet(path)
+    time.sleep(1.1)  # distinct mtimes => deterministic batch order
+    # batch 1: on-time row; ages 11:50 into the late-event bound
+    mk([("e", 121, 10.0)]).write.mode("append").parquet(path)
+    time.sleep(1.1)
+    # batch 2: one LATE row at 10:30 (< late-event bound 11:50:
+    # dropped) and one on-time row at 12:02 (emitted)
+    mk([("e", 30, 100.0), ("e", 122, 11.0)]).write.mode("append").parquet(path)
+    return path
+
+
+def _run_update_stream(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_stream_tumbling_drops_late_rows(spark, late_fixture):
+    """A row older than the late-event watermark bound never reaches
+    the 1-minute tumbling aggregation; the on-time row in the same
+    batch does.  (Batch replay of the same files WOULD count the late
+    row — the delta is exactly the documented watermark drop.)"""
+    batch_df = spark.read.parquet(late_fixture)
+    stream_df = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(late_fixture)
+    )
+    got = _run_update_stream(
+        spark,
+        streaming.stream_tumbling(
+            stream_df, "w", duration="1 minute", entity="image_id",
+            watermark="10 minutes",
+        ),
+        "tumb_late",
+    ).toPandas()
+    starts = set(got["win_start"].dt.strftime("%H:%M"))
+    assert "10:30" not in starts          # late row dropped entirely
+    assert {"10:00", "10:01", "10:02", "12:00", "12:01", "12:02"} <= starts
+    # emitted mass = all rows minus the one late row
+    assert int(got.drop_duplicates(subset=["win_start"], keep="last")["n"].sum()) == 6
+    assert batch_df.count() == 7          # batch replay sees all 7
+
+
+def test_stream_sessionize_drops_late_rows(spark, late_fixture):
+    """Same contract through session_window (append mode — Spark
+    rejects update mode for session aggregations): the late 10:30 row
+    would have opened its own session (gap 5 min) but is dropped, the
+    watermark-finalized early session emits complete, and the
+    still-open tail session is withheld."""
+    batch_df = spark.read.parquet(late_fixture)
+    stream_df = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(late_fixture)
+    )
+    out = streaming.stream_sessionize(
+        stream_df, gap="5 minutes", watermark="10 minutes", value_col="w"
+    )
+    # session windows only support append mode: emission itself is
+    # watermark-gated (a session emits once the watermark passes its
+    # end), so the contract under test is (a) the late 10:30 row opens
+    # no session, (b) the finalized early session emits complete, (c)
+    # the 12:00+ session is still open at stream end and does NOT emit
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sess_late").toPandas()
+    starts = set(got["session_start"].dt.strftime("%H:%M"))
+    assert "10:30" not in starts
+    assert starts == {"10:00"}
+    assert got["n_points"].tolist() == [3]
