@@ -65,6 +65,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_join_auto",
     "phash_dedup_clusters",
     "stable_hash_ids",
+    "bloom_semi_join",
+    "temporal_split_embargo",
+    "aspect_bucket_batches",
     # last driver row is round 2 — refresh (28)
     "topk_per_group",
     "dedup_priority",
@@ -110,15 +113,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_sample",
     "entity_minmax_agg",
     "equi_join_broadcast",
-    "semi_anti_join",
-    "overlap_theta_join",
-    "hash_split",
 )
 # rotated out for round 4 (r3 driver-green, keep local parity coverage):
 # the W1-W7 sampler/extractor family, zscore/percentile family,
 # dedup_exact/dedup_clusters/minhash_lsh_dups/ngram_jaccard_dups,
 # kmeans_refine, ann_ivf_trained, tfidf_top_terms, embed_dedup_clusters,
-# phash_near_dups, sliding_agg_large — they follow in registration order.
+# phash_near_dups, sliding_agg_large — they follow in registration
+# order.  semi_anti_join / overlap_theta_join / hash_split yielded
+# their flagship-set slots to the three queries NEW this round
+# (bloom_semi_join, temporal_split_embargo, aspect_bucket_batches) so
+# debuts land driver-green in the round that introduces them; all
+# three displaced queries are r3-green single-operator plans whose
+# code did not change.
 
 
 def _ordered(mapping: dict) -> dict:

@@ -888,3 +888,119 @@ def q_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     return dedup.dup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter runtime join pruning (gfwspark/bloom.py): facts SEMI
+# JOIN keys with a broadcast Bloom sketch applied at the fact scan —
+# the 100-TB membership-join shape (Spark InjectRuntimeFilter / Trino
+# runtime filters, rebuilt as DataFrame ops since PySpark exposes no
+# bloom builtin).  Exact by construction (final left_semi removes the
+# false positives), so the oracle is the plain semi join.
+# ---------------------------------------------------------------------
+
+_BLOOM_SEMI_ORACLE = """
+SELECT o_orderkey, o_custkey, cast(o_totalprice AS double) AS total
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
+)
+"""
+
+
+@register("bloom_semi_join", _BLOOM_SEMI_ORACLE)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfwspark import bloom
+
+    orders = tables.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("total"),
+    )
+    cust = tables.load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000.0
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    return bloom.bloom_semi_join(orders, cust, "o_custkey")
+
+
+# ---------------------------------------------------------------------
+# Leakage-free temporal split with embargo (sources.temporal_split_
+# embargo): last `horizon` of each entity's timeline is validation,
+# the embargo band before the cutoff is dropped so no trailing window
+# computed at a val timestamp can overlap a train row.
+# ---------------------------------------------------------------------
+
+_TEMPORAL_SPLIT_ORACLE = f"""
+WITH img AS ({_DUCK_IMG_ML}),
+m AS (
+  SELECT image_id, ts, event_id,
+    epoch_us(ts) AS t_us,
+    max(epoch_us(ts)) OVER (PARTITION BY image_id) - 604800000000 AS cutoff_us
+  FROM img
+)
+SELECT image_id, ts, event_id,
+  CASE WHEN t_us > cutoff_us THEN 'val' ELSE 'train' END AS split
+FROM m
+WHERE t_us > cutoff_us OR t_us <= cutoff_us - 86400000000
+"""
+
+
+@register("temporal_split_embargo", _TEMPORAL_SPLIT_ORACLE)
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = tables.image_caption_from_events(spark, sf_dir).select(
+        "image_id", "ts", "event_id"
+    )
+    from gfwspark import sources
+
+    # horizon = last week of each entity's timeline; embargo = 1 day
+    # (longest trailing feature window in the flagship pipeline)
+    return sources.temporal_split_embargo(
+        img, horizon_s=7 * 86400, embargo_s=86400
+    )
+
+
+# ---------------------------------------------------------------------
+# Aspect-ratio-bucketed pixel-budget batch packing: the image-training
+# batch assembly pattern (batches must be shape-homogeneous, so bucket
+# by w/h first, then pack a pixel budget per bucket) — composes the
+# image metadata columns with sources.pack_token_budget_batches; the
+# per-bucket partitioned window is also what keeps the running sum
+# distributed at corpus scale.
+# ---------------------------------------------------------------------
+
+_ASPECT_PACK_ORACLE = f"""
+WITH img AS ({_DUCK_IMG_ML}),
+t AS (
+  SELECT image_id, event_id,
+    cast(w AS double) / h AS aspect,
+    cast(w AS bigint) * h AS px
+  FROM img
+),
+s AS (
+  SELECT image_id, event_id, aspect, px,
+    cast(sum(px) OVER (PARTITION BY aspect ORDER BY image_id, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - px AS bigint)
+      AS batch_start_offset
+  FROM t
+)
+SELECT image_id, event_id, aspect, px,
+  cast(floor(batch_start_offset / 49152.0) AS bigint) AS batch_id,
+  batch_start_offset
+FROM s
+"""
+
+
+@register("aspect_bucket_batches", _ASPECT_PACK_ORACLE)
+def q_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfwspark import sources
+
+    img = tables.image_caption_from_events(spark, sf_dir).select(
+        "image_id",
+        "event_id",
+        (F.col("w").cast("double") / F.col("h")).alias("aspect"),
+        (F.col("w").cast("long") * F.col("h")).alias("px"),
+    )
+    return sources.pack_token_budget_batches(
+        img, "px", budget=49152, order_cols=["image_id", "event_id"],
+        partition_col="aspect",
+    )

@@ -248,3 +248,48 @@ def pack_token_budget_batches(
     return df.withColumn("batch_id", F.floor(start / budget).cast("long")).withColumn(
         "batch_start_offset", start
     )
+
+
+def temporal_split_embargo(
+    df: DataFrame,
+    horizon_s: int,
+    embargo_s: int,
+    entity: str = "image_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Per-entity leakage-free temporal train/validation split with an
+    embargo gap — the split a windowed feature pipeline must use so
+    that NO trailing-window feature computed at a validation timestamp
+    overlaps training rows (the north rule's zero-temporal-leakage
+    requirement applied to the split itself, not just the join).
+
+    cutoff(entity) = max(ts) - horizon: the last `horizon_s` seconds
+    of each entity's timeline become validation.  Rows inside
+    (cutoff - embargo, cutoff] are DROPPED: any validation row's
+    trailing feature window of length <= embargo_s ends strictly
+    before every surviving training row, so set embargo_s to the
+    longest feature window in the pipeline.  (The classic purged /
+    embargoed split from leakage-safe backtesting, e.g. de Prado,
+    "Advances in Financial Machine Learning" ch. 7 — public method.)
+
+    One window-max over the entity partitioning (reused by every
+    downstream per-entity stage — no extra exchange); pure JVM.
+    Returns the input rows (minus the embargo band) + `split` column.
+    """
+    from pyspark.sql import Window as _W
+
+    from gfwspark.util import epoch_us
+
+    cutoff = F.max(epoch_us(ts)).over(_W.partitionBy(entity)) - F.lit(
+        int(horizon_s) * 1_000_000
+    )
+    t = epoch_us(ts)
+    return (
+        df.withColumn(
+            "split",
+            F.when(t > cutoff, F.lit("val")).when(
+                t <= cutoff - F.lit(int(embargo_s) * 1_000_000), F.lit("train")
+            ),
+        )
+        .filter(F.col("split").isNotNull())
+    )
