@@ -421,9 +421,26 @@ def main() -> None:
     )
 
 
+def _record_scaling_run(report: dict) -> list[float]:
+    """Append this run's headline efficiency to BENCH/scaling_runs.json
+    and return all recorded efficiencies (seeded with rounds 1-3 from
+    BENCH/HISTORY.md) — the honest spread the headline reports as
+    median + bracket instead of cherry-picking the latest run."""
+    p = Path(__file__).resolve().parent / "BENCH" / "scaling_runs.json"
+    runs = json.loads(p.read_text()) if p.exists() else [
+        0.877, 0.902, 0.921, 0.859, 0.806  # r1, r2, r3 runs 1-3
+    ]
+    runs.append(report["pair_2_to_8_cores"]["efficiency"])
+    p.write_text(json.dumps(runs))
+    return runs
+
+
 def _write_baseline_md(report: dict) -> None:
+    import statistics
+
     p = Path(__file__).resolve().parent / "BENCH" / "BASELINE.md"
     p.parent.mkdir(exist_ok=True)
+    effs = _record_scaling_run(report)
 
     def row(r):
         return (f"| local[{r['cpus']}] | {r['rows']:,} | {r['sec']} "
@@ -449,11 +466,14 @@ runs).
 {row(a['lo'])}
 {row(a['hi'])}
 
-**Scaling efficiency (N -> 4N): {a['efficiency']}** — measured as
-throughput(4N) / (4 x throughput(N)); target >= 0.8 per BASELINE.json.
-Single-run ratio-of-minima is host-sensitive (25%+ steal-time swings);
-BENCH/HISTORY.md tabulates the repeated identical-code runs per round —
-the honest spread, of which this file holds the latest run.
+**Scaling efficiency (N -> 4N): this run {a['efficiency']}; across all
+{len(effs)} recorded identical-code runs median {round(statistics.median(effs), 3)},
+bracket {min(effs)}-{max(effs)}** (BENCH/scaling_runs.json, tabulated
+per round in BENCH/HISTORY.md) — measured as throughput(4N) / (4 x
+throughput(N)); target >= 0.8 per BASELINE.json.  Single-run
+ratio-of-minima is host-sensitive (25%+ steal-time swings), so the
+median-with-spread is the honest headline; the tables in this file
+hold the latest run's raw timings.
 This pair is the faithful proxy for N -> 4N *executors*: per-core
 memory-bandwidth share stays constant, as it does when a real cluster
 adds nodes.

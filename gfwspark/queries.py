@@ -68,6 +68,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bloom_semi_join",
     "temporal_split_embargo",
     "aspect_bucket_batches",
+    "doc_repetition",
+    "decontaminate_13gram",
     # last driver row is round 2 — refresh (28)
     "topk_per_group",
     "dedup_priority",
@@ -104,11 +106,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sliding_windows",
     "sessionize",
     "consolidate_runs",
-    "consolidate_runs_daysplit",
     "lag_lead",
     "tumbling_daily",
     "month_grid_windows",
-    "minute_grid_agreement",
     "ffill_backfill",
     "weighted_sample",
     "entity_minmax_agg",
@@ -119,12 +119,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # dedup_exact/dedup_clusters/minhash_lsh_dups/ngram_jaccard_dups,
 # kmeans_refine, ann_ivf_trained, tfidf_top_terms, embed_dedup_clusters,
 # phash_near_dups, sliding_agg_large — they follow in registration
-# order.  semi_anti_join / overlap_theta_join / hash_split yielded
-# their flagship-set slots to the three queries NEW this round
-# (bloom_semi_join, temporal_split_embargo, aspect_bucket_batches) so
-# debuts land driver-green in the round that introduces them; all
-# three displaced queries are r3-green single-operator plans whose
-# code did not change.
+# order.  semi_anti_join / overlap_theta_join / hash_split /
+# consolidate_runs_daysplit / minute_grid_agreement yielded their
+# flagship-set slots to the five queries NEW this round
+# (bloom_semi_join, temporal_split_embargo, aspect_bucket_batches,
+# doc_repetition, decontaminate_13gram) so debuts land driver-green in
+# the round that introduces them; all five displaced queries are
+# r3-green plans whose code did not change.
 
 
 def _ordered(mapping: dict) -> dict:

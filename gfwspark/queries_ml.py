@@ -1004,3 +1004,75 @@ def q_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         img, "px", budget=49152, order_cols=["image_id", "event_id"],
         partition_col="aspect",
     )
+
+
+# ---------------------------------------------------------------------
+# Intra-document repetition (duplicate-n-gram fraction — the public
+# Gopher/MassiveText repetition quality gates) and benchmark
+# decontamination by exact 13-gram collision (the public GPT-3 /
+# The Pile method).  The benchmark set is synthesized from the corpus
+# itself (verbatim token spans 11..40 of every doc_id % 50 == 0), so
+# contamination is PLANTED deterministically and the driver row is
+# non-vacuous on both engines.
+# ---------------------------------------------------------------------
+
+_D_TOKS_GUARDED = """CASE WHEN length(trim(text)) = 0 THEN []
+    ELSE regexp_split_to_array(trim(text), '\\s+') END"""
+
+_REPETITION_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_D_TOKS_GUARDED} AS toks FROM documents),
+u2 AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+        unnest(generate_series(1, len(toks) - 1)) AS i FROM d)
+),
+u3 AS (
+  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+        unnest(generate_series(1, len(toks) - 2)) AS i FROM d)
+),
+s2 AS (SELECT doc_id,
+  cast(count(*) - count(DISTINCT gram) AS double) / count(*) AS f2
+  FROM u2 GROUP BY doc_id),
+s3 AS (SELECT doc_id,
+  cast(count(*) - count(DISTINCT gram) AS double) / count(*) AS f3
+  FROM u3 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(s2.f2, 0.0) AS dup_2gram_frac,
+  coalesce(s3.f3, 0.0) AS dup_3gram_frac
+FROM d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+"""
+
+
+@register("doc_repetition", _REPETITION_ORACLE)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return text.with_repetition_stats(d).select(
+        "doc_id", "dup_2gram_frac", "dup_3gram_frac"
+    )
+
+
+_DECONTAM_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_D_TOKS_GUARDED} AS toks FROM documents),
+cg AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+        unnest(generate_series(1, len(toks) - 12)) AS i FROM d)
+),
+bg AS (
+  SELECT DISTINCT array_to_string(btoks[i:i+12], ' ') AS gram
+  FROM (SELECT btoks, unnest(generate_series(1, len(btoks) - 12)) AS i
+        FROM (SELECT toks[11:40] AS btoks FROM d WHERE doc_id % 50 = 0))
+)
+SELECT cg.doc_id, cast(count(*) AS bigint) AS n_shared_grams
+FROM cg JOIN bg ON cg.gram = bg.gram
+GROUP BY cg.doc_id
+"""
+
+
+@register("decontaminate_13gram", _DECONTAM_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.concat_ws(" ", F.slice(text.tokens_col("text"), 11, 30)).alias("text")
+    )
+    return text.ngram_decontaminate(d, bench, n=13)

@@ -234,3 +234,80 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def ngrams_col(toks, n: int):
+    """All word n-grams of a token array as space-joined strings, pure
+    JVM: transform over a sequence of start offsets + slice.  Empty
+    array when the document is shorter than n."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text",
+                          ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Intra-document repetition metrics — the duplicate-n-gram
+    fraction family of quality gates (the public Gopher/MassiveText
+    repetition rules: a document whose text is dominated by repeated
+    n-grams is boilerplate/spam and is filtered before training).
+
+    For each n: dup_{n}gram_frac = 1 - distinct/total n-grams (0 when
+    the doc has < n tokens).  The single IEEE division is bit-identical
+    across engines (engine float policy) — no rounding needed.
+    Everything is per-row array arithmetic: no shuffle at all."""
+    t = tokens_col(text_col)
+    out = df
+    for n in ns:
+        grams = ngrams_col(t, n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        out = out.withColumn(
+            f"dup_{n}gram_frac",
+            F.when(
+                total > 0,
+                (total - distinct).cast("double") / total.cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    return out
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination by exact n-gram collision — the
+    public method (GPT-3 appendix C / The Pile / most open LLM data
+    pipelines): a training document is CONTAMINATED if it shares any
+    verbatim 13-gram with an evaluation benchmark.
+
+    Returns (doc_id, n_shared_grams) for contaminated docs only —
+    n_shared_grams = how many DISTINCT benchmark n-grams the doc
+    contains (the triage signal: 1 collision is a coincidence
+    candidate, dozens mean verbatim inclusion).
+
+    Scale shape: both sides explode to distinct (id, gram) /(gram)
+    rows; the join key is the raw gram string here for oracle
+    transparency — at corpus scale hash the gram first (xxhash64) so
+    the shuffle carries 8 bytes/gram, and broadcast the benchmark side
+    (eval suites are tiny next to a training corpus; Catalyst already
+    picks broadcast under the threshold).  One aggregation by doc."""
+    c = corpus.select(
+        F.col(id_col), F.explode(ngrams_col(tokens_col(text_col), n)).alias("gram")
+    ).distinct()
+    b = benchmark.select(
+        F.explode(ngrams_col(tokens_col(bench_text_col), n)).alias("gram")
+    ).distinct()
+    return (
+        c.join(b, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )

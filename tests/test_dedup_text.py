@@ -416,3 +416,46 @@ def test_kmeans_fit_sample_equals_full_at_corpus_size(spark):
     assert [list(v) for v in s1.sort_values("cid")["embedding"]] == [
         list(v) for v in s2.sort_values("cid")["embedding"]
     ]
+
+
+def test_repetition_stats_planted(spark):
+    """Boilerplate (one phrase repeated) shows dup fractions near 1;
+    an all-distinct-token doc shows 0; short docs (< n tokens) are 0
+    by the guard, not NaN."""
+    rows = [
+        (1, " ".join(["spam ham"] * 20)),          # 'spam ham' x20
+        (2, " ".join(f"tok{i}" for i in range(30))),
+        (3, "one"),
+        (4, "one two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        text.with_repetition_stats(df)
+        .select("doc_id", "dup_2gram_frac", "dup_3gram_frac")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "dup_2gram_frac"] > 0.9
+    assert out.loc[2, "dup_2gram_frac"] == 0.0
+    assert out.loc[3, "dup_2gram_frac"] == 0.0  # 1 token: no 2-grams
+    assert out.loc[4, "dup_3gram_frac"] == 0.0  # 2 tokens: no 3-grams
+
+
+def test_ngram_decontaminate_planted(spark):
+    """A doc containing a verbatim benchmark 13-gram is flagged with
+    the right collision count; unrelated docs are not flagged."""
+    span = " ".join(f"w{i}" for i in range(13))
+    rows = [
+        (1, "prefix " + span + " suffix"),         # contains the span
+        (2, " ".join(f"x{i}" for i in range(40))), # clean
+        (3, span),                                  # exactly the span
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(span,)], "text string")
+    got = (
+        text.ngram_decontaminate(corpus, bench, n=13)
+        .toPandas()
+        .set_index("doc_id")["n_shared_grams"]
+        .to_dict()
+    )
+    assert got == {1: 1, 3: 1}
