@@ -11,9 +11,11 @@ from __future__ import annotations
 PLAN_QUERIES = (
     "flagship_featurize",
     "asof_join_union",
+    "asof_join_auto",
     "equi_join_broadcast",
     "sliding_feature_windows",
     "aligned_windows",
+    "bloom_semi_join",
 )
 
 
