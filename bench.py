@@ -466,10 +466,12 @@ runs).
 {row(a['lo'])}
 {row(a['hi'])}
 
-**Scaling efficiency (N -> 4N): this run {a['efficiency']}; across all
-{len(effs)} recorded identical-code runs median {round(statistics.median(effs), 3)},
+**Scaling efficiency (N -> 4N): this run {a['efficiency']}; across
+all {len(effs)} recorded runs median {round(statistics.median(effs), 3)},
 bracket {min(effs)}-{max(effs)}** (BENCH/scaling_runs.json, tabulated
-per round in BENCH/HISTORY.md) — measured as throughput(4N) / (4 x
+per round in BENCH/HISTORY.md; runs span rounds — the flagship JOB
+code is stable but engine code evolves between rounds, and runs within
+one round are identical-code) — measured as throughput(4N) / (4 x
 throughput(N)); target >= 0.8 per BASELINE.json.  Single-run
 ratio-of-minima is host-sensitive (25%+ steal-time swings), so the
 median-with-spread is the honest headline; the tables in this file

@@ -434,9 +434,14 @@ def asof_join_chunked(
     )
     chunk_expr = F.floor(epoch_us(ts) / F.lit(chunk_us))
     if hot_ids is not None:
-        chunk_expr = F.when(F.col(entity).isin(list(hot_ids)), chunk_expr).otherwise(
-            F.lit(0).cast("long")
-        )
+        non_null = [h for h in hot_ids if h is not None]
+        is_hot = F.col(entity).isin(non_null) if non_null else F.lit(False)
+        if any(h is None for h in hot_ids):
+            # isin() never matches NULL (SQL semantics); a NULL hot
+            # group must be salted explicitly or it would serialize
+            # into the single chunk-0 window auto exists to prevent
+            is_hot = is_hot | F.col(entity).isNull()
+        chunk_expr = F.when(is_hot, chunk_expr).otherwise(F.lit(0).cast("long"))
     u = f.unionByName(a, allowMissingColumns=True).withColumn("_chunk", chunk_expr)
     # local merge: the union-form carry, salted by (entity, chunk)
     w_in = (
@@ -566,7 +571,13 @@ def asof_join(
     if not hot_rows:
         return asof_join_union(facts, annotations, entity, ts, ann_ts, value_cols)
 
-    hot_ids = sorted(r[entity] for r in hot_rows)
+    # a NULL entity group is the classic dirty-data hot key: it groups
+    # like any value in groupBy/window, but isin() never matches NULL,
+    # so it must be carried explicitly (sorted() would also choke on
+    # None next to strings)
+    hot_ids = sorted(
+        (r[entity] for r in hot_rows), key=lambda v: (v is None, v)
+    )
     if chunk_s is None:
         span_s = max((r["hi_us"] - r["lo_us"]) // 1_000_000 for r in hot_rows)
         n_chunks = 4 * facts.sparkSession.sparkContext.defaultParallelism

@@ -70,9 +70,12 @@ def bloom_might_contain(col, bitmap: list[int], m_bits: int,
                         n_hashes: int = 5):
     """Pure-JVM membership predicate column: AND of the k probe bits."""
     tests = []
+    # one shared array literal — building it inside the loop would put
+    # k full copies of the bitmap into the expression tree
+    arr = F.lit(bitmap)
     for i in range(n_hashes):
         p = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
-        word = F.element_at(F.lit(bitmap), ((p / 64).cast("int") + 1))
+        word = F.element_at(arr, ((p / 64).cast("int") + 1))
         # call_function: SQL shiftleft takes a column shift amount (the
         # typed PySpark wrapper insists on a literal int)
         mask = F.call_function(
@@ -97,7 +100,22 @@ def bloom_semi_join(
     The keys frame is traversed twice (bitmap + exact join) — at the
     intended scale keys is the small side (a dim / id-list several
     orders smaller than facts), so the second pass is noise against
-    the saved fact shuffle."""
+    the saved fact shuffle.
+
+    Both sides must carry the SAME type for `on`: xxhash64 is
+    type-sensitive (int 5 and bigint 5 hash differently), so a type
+    mismatch would set bits from one representation and probe with the
+    other — silent false negatives where the plain semi join (which
+    implicitly casts) keeps the row.  Raised here instead of silently
+    casting: the caller should decide which side widens."""
+    ft = facts.schema[on].dataType
+    kt = keys.schema[on].dataType
+    if ft != kt:
+        raise ValueError(
+            f"bloom_semi_join: facts[{on}] is {ft.simpleString()} but "
+            f"keys[{on}] is {kt.simpleString()}; xxhash64 is type-"
+            "sensitive, so cast both sides to a common type first"
+        )
     bitmap = bloom_bitmap(keys, on, m_bits, n_hashes)
     pruned = facts.filter(bloom_might_contain(F.col(on), bitmap, m_bits, n_hashes))
     return pruned.join(keys.select(on).distinct(), on=on, how="left_semi")

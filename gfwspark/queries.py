@@ -55,8 +55,9 @@ def register(name: str, oracle: str | None):
 # stable_hash_ids re-gated now that it has a golden-as-oracle VALUES
 # table instead of `no_oracle`; (c) the 28 queries whose last driver
 # row is round 2 (metrics / ANN / text family — shared infrastructure
-# under them changed in r3); (d) the 18-query flagship set kept inside
-# the window every round.  4 + 28 + 18 = 50.
+# under them changed in r3); (d) the flagship set.  9 debut/re-gate +
+# 28 refresh + 13 flagship = 50 (five flagship queries yielded their
+# slots to r4 debuts; see the trailing comment).
 # ---------------------------------------------------------------------
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
@@ -99,7 +100,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "semiyear_union",
     "id_set_ops",
     "train_info_cte",
-    # headline / flagship set kept inside the window every round (18)
+    # headline / flagship set (13 this round; 5 slots lent to debuts)
     "flagship_featurize",
     "asof_join_union",
     "asof_join_cogroup",

@@ -440,7 +440,13 @@ def kmeans_fit(
                 "|", F.col(id_col).cast("string"), F.lit(str(sample_seed))
             )
         )
-        df = df.orderBy(u, F.col(id_col)).limit(fit_sample)
+        # materialize the sample ONCE: the whole point is that the
+        # n_iter assignment passes touch fit_sample rows, not the
+        # corpus — without this the lazy orderBy+limit lineage would
+        # re-scan the full corpus every iteration
+        df = df.orderBy(u, F.col(id_col)).limit(fit_sample).localCheckpoint(
+            eager=True
+        )
     if init is None:
         w = Window.orderBy(id_col)
         init = (

@@ -40,15 +40,16 @@ def tokens_col(text_col: str = "text"):
 # logical-plan semantic hash): .rdd compiles the physical plan (no job,
 # but non-free), and one minhash pipeline calls
 # ensure_explode_parallelism several times on the same lineage
-# (shingles, simhash, lang_id) — the probe runs once.  Session-scoped
-# keys mean a restarted session never sees another session's counts.
+# (shingles, simhash, lang_id) — the probe runs once.  Keys carry the
+# Spark applicationId, so a restarted session never sees another
+# session's counts (id() would be vulnerable to address reuse).
 # Remaining (documented) staleness window: within ONE session, a
 # re-read of a path whose FILE SET changed hashes to the same semantic
 # plan and reuses the old count — the repartition may then be skipped
 # or mis-sized.  Impact is performance-only (correctness never depends
 # on the repartition); pipelines that rewrite their own inputs
 # mid-session should clear the cache or recreate the session.
-_NPART_CACHE: dict[tuple[int, int], int] = {}
+_NPART_CACHE: dict[tuple[str, int], int] = {}
 
 
 def ensure_explode_parallelism(df: DataFrame) -> DataFrame:
@@ -76,7 +77,13 @@ def ensure_explode_parallelism(df: DataFrame) -> DataFrame:
         # a partition count (no job).  Under Spark Connect .rdd is
         # unavailable — skip the optimization rather than fail (the
         # explode still computes correctly, just without the repartition).
-        key = (id(spark), df._jdf.queryExecution().logical().semanticHash())
+        # applicationId, not id(spark): CPython recycles object
+        # addresses, so id() could alias a fresh session to a stopped
+        # one's cached counts
+        key = (
+            spark.sparkContext.applicationId,
+            df._jdf.queryExecution().logical().semanticHash(),
+        )
         n_in = _NPART_CACHE.get(key)
         if n_in is None:
             n_in = df.rdd.getNumPartitions()

@@ -758,3 +758,32 @@ def test_asof_auto_explicit_strategies(img_df, ann_df):
         asof.asof_join(small, ann1, strategy="chunked")
     with _pytest.raises(ValueError, match="strategy"):
         asof.asof_join(small, ann1, strategy="nope")
+
+
+def test_asof_auto_null_hot_entity(spark):
+    """A NULL entity group above the hot threshold (the classic
+    dirty-data hot key) is salted like any other hot key — isin()
+    alone would never match NULL and the group would serialize into
+    the chunk-0 window — and results still equal the union form."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(None, base + dt.timedelta(seconds=s)) for s in range(0, 2000)]
+    rows += [("cold", base + dt.timedelta(seconds=s)) for s in range(0, 50)]
+    facts = spark.createDataFrame(rows, "image_id string, ts timestamp")
+    ann = spark.createDataFrame(
+        [(None, base + dt.timedelta(seconds=500), "n1"),
+         ("cold", base + dt.timedelta(seconds=10), "c1")],
+        "image_id string, start_ts timestamp, label string",
+    )
+    want = (
+        asof.asof_join_union(facts, ann)
+        .toPandas().sort_values(["image_id", "ts"], na_position="first")
+        .reset_index(drop=True)
+    )
+    got = (
+        asof.asof_join(facts, ann, strategy="auto", hot_threshold_rows=1000)
+        .toPandas().sort_values(["image_id", "ts"], na_position="first")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(want, got, check_dtype=False)
