@@ -425,3 +425,54 @@ def phash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL shingle containment |A ∩ B| / |A| — the asymmetric
+    twin of Jaccard that symmetric dedup misses: a short document
+    quoted verbatim inside a long one has low Jaccard (the union is
+    dominated by the long doc) but containment ~1.  This is the
+    standard subset/quote-dedup measure (Broder's containment, the
+    basis of SlimPajama-style low-length-ratio near-dup handling).
+
+    Same inverted-index prune as ngram_jaccard_pairs: candidate pairs
+    only for docs sharing a shingle, never a cross join; the same
+    opt-in `max_shingle_df` posting-list cap applies at corpus scale
+    (capping changes values — exact by default).
+
+    Returns (contained_id, container_id, containment) for ordered
+    pairs with containment >= threshold; both directions of a pair are
+    evaluated independently (a ⊆ b does not imply b ⊆ a)."""
+    sh = shingles(df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        sh = cap_hot_shingles(sh, max_shingle_df, id_col)
+    a = sh.withColumnRenamed(id_col, "contained_id")
+    b = sh.withColumnRenamed(id_col, "container_id")
+    pairs = (
+        a.join(b, ["sh_hash"])
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        pairs.join(
+            sizes.withColumnRenamed(id_col, "contained_id").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "contained_id",
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter").cast("double") / F.col("n_a"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "containment")
+    )

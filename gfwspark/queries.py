@@ -126,7 +126,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # (bloom_semi_join, temporal_split_embargo, aspect_bucket_batches,
 # doc_repetition, decontaminate_13gram) so debuts land driver-green in
 # the round that introduces them; all five displaced queries are
-# r3-green plans whose code did not change.
+# r3-green plans whose code did not change.  `containment_dups`
+# (registered mid-r4, after the window filled) runs on local parity +
+# planted pytest this round — deliberate: the window holds exactly 50
+# and every slot is spoken for; rotate it in for r5.
 
 
 def _ordered(mapping: dict) -> dict:

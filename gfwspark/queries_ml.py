@@ -1076,3 +1076,53 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(text.tokens_col("text"), 11, 30)).alias("text")
     )
     return text.ngram_decontaminate(d, bench, n=13)
+
+
+# ---------------------------------------------------------------------
+# Directional containment dedup (Broder containment |A∩B|/|A|): the
+# quote/subset near-dup measure symmetric Jaccard misses.  Planted:
+# every doc_id % 40 == 0 spawns a sub-document of its first 20 tokens
+# at doc_id + 200000 — containment(sub ⊆ parent) == 1.0 while
+# Jaccard(sub, parent) stays far below any dedup threshold.
+# ---------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, array_to_string(toks[1:20], ' ') AS text
+  FROM (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+  WHERE doc_id % 40 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, {_d_hash32('shingle')} AS sh_hash FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(toks) >= 3 THEN
+        list_transform(generate_series(1, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      ELSE [array_to_string(toks, ' ')] END) AS shingle
+    FROM (SELECT doc_id, {_D_TOKS} AS toks FROM base)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh_hash = b.sh_hash AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.contained_id, p.container_id,
+  round(cast(p.n_inter AS double) / sa.n_sh, 6) AS containment
+FROM pairs p JOIN sizes sa ON sa.doc_id = p.contained_id
+WHERE round(cast(p.n_inter AS double) / sa.n_sh, 6) >= 0.9
+"""
+
+
+@register("containment_dups", _CONTAINMENT_ORACLE)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(text.tokens_col("text"), 1, 20)).alias("text"),
+    )
+    return dedup.containment_pairs(d.unionByName(planted), threshold=0.9)

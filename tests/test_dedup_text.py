@@ -459,3 +459,24 @@ def test_ngram_decontaminate_planted(spark):
         .to_dict()
     )
     assert got == {1: 1, 3: 1}
+
+
+def test_containment_pairs_planted(spark):
+    """A short doc quoted verbatim inside a long one: containment
+    (sub in parent) == 1.0 while Jaccard stays below threshold — the
+    asymmetric case symmetric dedup misses.  Direction matters:
+    (parent in sub) is far below 1."""
+    long_text = " ".join(f"w{i}" for i in range(60))
+    sub_text = " ".join(f"w{i}" for i in range(20))   # first 20 tokens
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, sub_text), (3, other)],
+        "doc_id long, text string",
+    )
+    got = dedup.containment_pairs(df, threshold=0.9).toPandas()
+    assert [
+        (r.contained_id, r.container_id, r.containment)
+        for r in got.itertuples()
+    ] == [(2, 1, 1.0)]
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.4).toPandas()
+    assert jac.empty  # Jaccard(sub, parent) = 18/58 ~ 0.31: missed
