@@ -854,3 +854,51 @@ def q_asof_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         strategy="auto",
         hot_threshold_rows=50,
     )
+
+
+# ---------------------------------------------------------------------
+# Winsorized per-entity feature clipping (leakage-safe feature
+# scaling's outlier step): clip each entity's values to its own
+# [p05, p95] — a broadcast-joined two-pass shape (tiny percentile dim
+# joined back to the facts), the standard robust-scaling preparation
+# before normalization_stats.  round(6) on the percentile bounds per
+# the interpolation policy; the clip itself is exact.
+# ---------------------------------------------------------------------
+
+_WINSORIZE_ORACLE = """
+WITH b AS (
+  SELECT user_id,
+    round(quantile_cont(value, 0.05), 6) AS lo,
+    round(quantile_cont(value, 0.95), 6) AS hi
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.value,
+  least(greatest(e.value, b.lo), b.hi) AS value_w,
+  cast(e.value < b.lo OR e.value > b.hi AS boolean) AS clipped
+FROM events e JOIN b USING (user_id)
+"""
+
+
+@register("winsorize_features", _WINSORIZE_ORACLE)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+                "value_w"
+            ),
+            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+                "clipped"
+            ),
+        )
+    )

@@ -293,3 +293,61 @@ def temporal_split_embargo(
         )
         .filter(F.col("split").isNotNull())
     )
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    entity: str = "image_id",
+    n_buckets: int = 16,
+) -> dict:
+    """MERGE-style upsert into a bucket-partitioned parquet table —
+    the parquet stand-in for Iceberg MERGE INTO (same trick Iceberg's
+    copy-on-write merge performs: rewrite ONLY the data files whose
+    partitions the batch touches).
+
+    1. batch rows get `_bucket` = crc32(entity) % n_buckets
+       (checkpoint.bucket_of — the table's layout key);
+    2. the existing table is read WITH a partition-pruning filter to
+       only the touched buckets (everything else is never scanned,
+       never rewritten — at 10^12 rows that is the entire point);
+    3. existing rows that match a batch row on `keys` are dropped
+       (left_anti), the batch is unioned in;
+    4. dynamic partition overwrite rewrites only the touched bucket
+       directories.
+
+    The merged frame is localCheckpoint'ed before the write because
+    Spark refuses to overwrite a path it is concurrently reading
+    (self-overwrite); the materialization is bounded by the touched
+    buckets, not the table.  Returns {touched_buckets, upserted,
+    deleted} counts for the caller's lineage record.
+
+    Concurrency contract: single writer (like any filesystem parquet
+    table); a real Iceberg catalog upgrades this to optimistic
+    snapshot commits with no code change upstream.
+    """
+    import os
+
+    from gfwspark.checkpoint import bucket_of
+
+    b = batch.withColumn("_bucket", bucket_of(entity, n_buckets))
+    touched = sorted(r["_bucket"] for r in b.select("_bucket").distinct().collect())
+    n_up = b.count()
+    deleted = 0
+    if os.path.exists(path):
+        existing = spark.read.parquet(path).filter(F.col("_bucket").isin(touched))
+        keep = existing.join(b.select(*keys).distinct(), keys, "left_anti")
+        deleted = existing.count() - keep.count()
+        out = keep.unionByName(b)
+    else:
+        out = b
+    out = out.localCheckpoint(eager=True)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(path)
+    )
+    return {"touched_buckets": touched, "upserted": n_up, "deleted": deleted}

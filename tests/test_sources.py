@@ -176,3 +176,53 @@ def test_stable_hash_golden_values(spark):
         "vessel-123": 636194754,
         "42": 1563401116,
     }
+
+
+def test_upsert_partitioned_merge_semantics(spark, tmp_path):
+    """MERGE semantics + partition-pruned rewrite: matched keys are
+    replaced, unmatched retained, new inserted — and bucket dirs the
+    batch does not touch keep their exact files (proof the rewrite
+    pruned)."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(f"e{i}", i, f"v{i}") for i in range(40)],
+        "image_id string, seq int, val string",
+    )
+    r0 = sources.upsert_partitioned(spark, base, path, keys=["image_id", "seq"])
+    assert r0["upserted"] == 40 and r0["deleted"] == 0
+
+    def files_by_bucket():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("_bucket="):
+                bdir = os.path.join(path, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(bdir, f)))
+                    for f in os.listdir(bdir) if f.endswith(".parquet")
+                )
+        return out
+
+    before = files_by_bucket()
+    batch = spark.createDataFrame(
+        [("e3", 3, "UPDATED"), ("e999", 0, "NEW")],
+        "image_id string, seq int, val string",
+    )
+    r1 = sources.upsert_partitioned(spark, batch, path, keys=["image_id", "seq"])
+    assert r1["upserted"] == 2 and r1["deleted"] == 1
+
+    got = spark.read.parquet(path).drop("_bucket").toPandas()
+    assert len(got) == 41
+    assert got.set_index(["image_id", "seq"]).loc[("e3", 3), "val"] == "UPDATED"
+    assert got.set_index(["image_id", "seq"]).loc[("e999", 0), "val"] == "NEW"
+    assert got.set_index(["image_id", "seq"]).loc[("e7", 7), "val"] == "v7"
+
+    after = files_by_bucket()
+    touched = {f"_bucket={t}" for t in r1["touched_buckets"]}
+    untouched_same = {
+        k: v for k, v in before.items() if k not in touched
+    }
+    for k, v in untouched_same.items():
+        assert after[k] == v, f"untouched partition {k} was rewritten"
+    assert len(untouched_same) > 0  # the pruning claim is non-vacuous
