@@ -85,9 +85,16 @@ def featurize(
     window_size: int = 8,
     session_gap_s: int = 3600,
     order_tiebreak: str | None = None,
+    asof_strategy: str = "union",
 ) -> DataFrame:
     """Flagship pipeline: derived features + as-of label + backward
     sliding aggregates + session ids.
+
+    ``asof_strategy``: 'union' (default — one shuffle whose entity
+    hashpartitioning every later window stage reuses; the measured
+    best on balanced data) or any asof.asof_join strategy; pass
+    'auto' when the entity distribution is skewed so hot keys route
+    through the time-salted chunked kernel (asof.py).
 
     Plan shape (at any scale): the as-of union-merge runs FIRST — its
     window node establishes hashpartitioning(entity), and every later
@@ -104,9 +111,10 @@ def featurize(
     """
     feat = with_row_features(images).drop("caption", "bytes", "fmt")
     if annotations is not None:
-        feat = asof.asof_join_union(
+        feat = asof.asof_join(
             feat, annotations, entity=entity, ts=ts,
             ann_ts="start_ts", value_cols=("label",),
+            strategy=asof_strategy,
         )
 
     feat = with_lag_features(feat, entity=entity, ts=ts, order_tiebreak=order_tiebreak)
@@ -146,9 +154,10 @@ def featurize_full(
     the single entity shuffle."""
     feat = with_row_features(images).drop("caption", "bytes", "fmt")
     if annotations is not None:
-        feat = asof.asof_join_union(
+        feat = asof.asof_join(
             feat, annotations, entity=entity, ts=ts,
             ann_ts="start_ts", value_cols=("label",),
+            strategy=asof_strategy,
         )
     feat = with_lag_features(feat, entity=entity, ts=ts, order_tiebreak=order_tiebreak)
 

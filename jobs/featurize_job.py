@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--session-gap", type=int, default=3600)
     ap.add_argument("--large-windows", default="")
     ap.add_argument("--phash-from-bytes", action="store_true")
+    ap.add_argument(
+        "--asof-strategy", default="union",
+        choices=["union", "cogroup", "auto"],
+        help="as-of physical strategy; 'auto' salts hot entities "
+             "through the chunked kernel (skewed tables)",
+    )
     args = ap.parse_args()
 
     from gfwspark import checkpoint, features
@@ -64,6 +70,7 @@ def main() -> None:
             bucket_ann,
             window_size=args.window_size,
             session_gap_s=args.session_gap,
+            asof_strategy=args.asof_strategy,
         )
         for w in large_ws:
             from gfwspark import windows
