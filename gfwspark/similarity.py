@@ -479,3 +479,28 @@ def kmeans_fit(
     return spark.createDataFrame(
         [(r["cid"], r[vec_col]) for r in cent_rows], schema
     )
+
+
+def ivf_write(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index AT REST: the corpus assigned to its
+    nearest centroid (ivf_assign) written as parquet partitioned by
+    `cid` — the inverted lists ARE the directory layout.  A probe that
+    wants n_probe of n_centroids lists then reads n_probe/n_centroids
+    of the files via partition pruning; nothing else is opened.  This
+    is the 100-TB ANN serving shape (FAISS IVF's list structure,
+    expressed as table layout)."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+
+def ivf_read_lists(spark, path: str, cids: list[int]) -> DataFrame:
+    """Read ONLY the probed inverted lists — the cid filter prunes at
+    the partition-directory level (verify with .explain: PartitionFilters
+    carries cid, and PartitionCount == len(cids))."""
+    return spark.read.parquet(path).filter(F.col("cid").isin(cids))

@@ -480,3 +480,40 @@ def test_containment_pairs_planted(spark):
     ] == [(2, 1, 1.0)]
     jac = dedup.ngram_jaccard_pairs(df, threshold=0.4).toPandas()
     assert jac.empty  # Jaccard(sub, parent) = 18/58 ~ 0.31: missed
+
+
+def test_ivf_index_at_rest_partition_pruned(spark, tmp_path):
+    """The persisted IVF index serves probes through partition pruning:
+    a cid filter reads only the probed list directories (plan shows the
+    partition filter and the pruned partition count), and the rows
+    equal the in-memory assignment filtered the same way."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(80, dtype=np.int64),
+            "embedding": [rng.normal(size=4).round(3).tolist() for _ in range(80)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cent = similarity.kmeans_fit(df, k=4, n_iter=2)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write(df, cent, path)
+
+    probed = similarity.ivf_read_lists(spark, path, [0, 2])
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:200]
+
+    want = (
+        similarity.ivf_assign(df, cent)
+        .filter(F.col("cid").isin([0, 2]))
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    got = (
+        probed.select("vec_id", "cid", "embedding")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert got["cid"].tolist() == want["cid"].tolist()

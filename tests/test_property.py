@@ -322,3 +322,41 @@ def test_sliding_agg_large_property(spark, ts, W, nulls):
     want_var = s.rolling(W, min_periods=1).var(ddof=0).round(6)
     got_var = fast["p_var"].astype(float)
     assert np.allclose(got_var, want_var, equal_nan=True, atol=1e-6)
+
+
+from hypothesis import HealthCheck
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1, max_size=40, unique=True,
+    ),
+    extra=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=0, max_size=40,
+    ),
+)
+def test_bloom_no_false_negatives_property(spark, keys, extra):
+    """∀ key sets: every true member passes the Bloom pre-filter (false
+    negatives are impossible by construction; false positives are the
+    exact join's job) — even with a deliberately tiny, saturated
+    bitmap."""
+    from gfwspark import bloom
+
+    kdf = spark.createDataFrame([(int(k),) for k in keys], "k long")
+    facts = spark.createDataFrame(
+        [(int(k),) for k in keys + extra], "k long"
+    )
+    bm = bloom.bloom_bitmap(kdf, "k", m_bits=1024, n_hashes=3)
+    passed = {
+        r["k"]
+        for r in facts.filter(
+            bloom.bloom_might_contain(F.col("k"), bm, 1024, 3)
+        ).collect()
+    }
+    assert set(keys) <= passed
