@@ -10,6 +10,7 @@ from pathlib import Path
 import pyspark.sql.functions as F
 
 from gfwspark import sources, tables
+from tests.conftest import SF_MED
 
 
 def test_read_entity_info_drops_blank_labels(spark, tmp_path):
@@ -226,3 +227,23 @@ def test_upsert_partitioned_merge_semantics(spark, tmp_path):
     for k, v in untouched_same.items():
         assert after[k] == v, f"untouched partition {k} was rewritten"
     assert len(untouched_same) > 0  # the pruning claim is non-vacuous
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """Approximate distinct (HLL++, Spark-native) stays within its
+    configured rsd against the exact count per group — the cheap
+    cardinality pass a 100-TB profiler runs before choosing dedup /
+    join strategies (exact distinct is a full shuffle; the sketch is
+    map-side mergeable)."""
+    df = tables.load_table(spark, SF_MED, "events")
+    got = (
+        df.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .toPandas()
+    )
+    assert len(got) > 0
+    rel_err = (got["approx"] - got["exact"]).abs() / got["exact"]
+    assert (rel_err < 0.05).all(), got.to_dict("records")
