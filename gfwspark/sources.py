@@ -351,3 +351,57 @@ def upsert_partitioned(
         .parquet(path)
     )
     return {"touched_buckets": touched, "upserted": n_up, "deleted": deleted}
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction (the Iceberg `rewrite_data_files` /
+    OPTIMIZE stand-in): rewrite a parquet directory into
+    ceil(bytes / target_mb) files, optionally re-sorting within files
+    to restore the engine's at-rest clustering (layout.partition_sorted
+    contract) that incremental appends erode.
+
+    The small-files problem is a first-order 100-TB cost: a table
+    accreted by per-bucket upserts / streaming commits ends up with
+    thousands of KB-sized files, and every downstream scan pays one
+    task + one open per file.  Sizing uses the on-disk byte total (not
+    row counts), so compressed width is what drives the output count.
+
+    Writes to a temp sibling then atomically swaps directories —
+    Spark cannot overwrite a path it is reading, and a crash mid-write
+    must not lose the original.  Single-writer contract, like the
+    upsert sink.  Returns {files_before, files_after, bytes}."""
+    import os
+    import shutil
+
+    def _stats(p: str) -> tuple[int, int]:
+        n, b = 0, 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    files_before, total_bytes = _stats(path)
+    n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_out)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    files_after, _ = _stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

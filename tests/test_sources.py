@@ -247,3 +247,36 @@ def test_approx_count_distinct_error_bound(spark):
     assert len(got) > 0
     rel_err = (got["approx"] - got["exact"]).abs() / got["exact"]
     assert (rel_err < 0.05).all(), got.to_dict("records")
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    """Many tiny files collapse to the byte-sized target count; row
+    content is identical; sort_cols restores within-file clustering."""
+    import os
+
+    path = str(tmp_path / "frag")
+    df = spark.createDataFrame(
+        [(f"e{i % 7}", i, float(i)) for i in range(2000)],
+        "image_id string, seq int, v double",
+    )
+    df.repartition(64).write.mode("overwrite").parquet(path)
+    n_before = sum(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+    assert n_before == 64
+    before = spark.read.parquet(path).toPandas().sort_values("seq")
+
+    r = sources.compact_table(
+        spark, path, target_mb=128, sort_cols=["image_id", "seq"]
+    )
+    assert r["files_before"] == 64 and r["files_after"] == 1
+
+    after_df = spark.read.parquet(path)
+    after = after_df.toPandas().sort_values("seq")
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+    # within-file clustering restored: rows arrive sorted per partition
+    import pandas as pd
+
+    part = after_df.toPandas()
+    keys = list(zip(part["image_id"], part["seq"]))
+    assert keys == sorted(keys)
