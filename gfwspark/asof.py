@@ -516,6 +516,9 @@ def asof_join(
 
     - ``'union'``    — asof_join_union (default at scale; one shuffle).
     - ``'cogroup'``  — asof_join_cogroup (Arrow merge_asof; wide payloads).
+    - ``'broadcast'``— asof_join_broadcast (zero fact shuffle; small
+      annotation dims only — raises past its row cap).  Single value
+      column (the broadcast index carries one payload array).
     - ``'chunked'``  — asof_join_chunked (time-salted; hot entities).
       Requires ``chunk_s``.
     - ``'auto'``     — measure per-entity fact counts once (a tiny
@@ -547,6 +550,15 @@ def asof_join(
         return asof_join_union(facts, annotations, entity, ts, ann_ts, value_cols)
     if strategy == "cogroup":
         return asof_join_cogroup(facts, annotations, entity, ts, ann_ts, value_cols)
+    if strategy == "broadcast":
+        if len(value_cols) != 1:
+            raise ValueError(
+                "asof_join(strategy='broadcast') supports exactly one "
+                f"value column, got {value_cols!r}"
+            )
+        return asof_join_broadcast(
+            facts, annotations, entity, ts, ann_ts, value_col=value_cols[0]
+        )
     if strategy == "chunked":
         if chunk_s is None:
             raise ValueError("asof_join(strategy='chunked') requires chunk_s")

@@ -747,6 +747,7 @@ def test_asof_auto_explicit_strategies(img_df, ann_df):
     )
     for kw in (
         dict(strategy="cogroup"),
+        dict(strategy="broadcast"),
         dict(strategy="chunked", chunk_s=86400),
     ):
         b = (
@@ -756,6 +757,10 @@ def test_asof_auto_explicit_strategies(img_df, ann_df):
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
     with _pytest.raises(ValueError, match="chunk_s"):
         asof.asof_join(small, ann1, strategy="chunked")
+    with _pytest.raises(ValueError, match="one"):
+        asof.asof_join(
+            small, ann1, value_cols=("value", "value"), strategy="broadcast"
+        )
     with _pytest.raises(ValueError, match="strategy"):
         asof.asof_join(small, ann1, strategy="nope")
 
