@@ -508,6 +508,8 @@ def asof_join(
     hot_threshold_rows: int = 3_000_000,
     chunk_s: int | None = None,
     min_chunk_s: int = 3600,
+    entity_stats: DataFrame | None = None,
+    max_hot_ids: int = 256,
 ) -> DataFrame:
     """Strategy-dispatched backward as-of join (the engine's front door).
 
@@ -570,18 +572,56 @@ def asof_join(
 
     from gfwspark.util import epoch_us
 
-    hot_rows = (
-        facts.groupBy(entity)
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min(epoch_us(ts)).alias("lo_us"),
-            F.max(epoch_us(ts)).alias("hi_us"),
+    if entity_stats is not None:
+        # caller already profiled the layout (layout.detect_skew, a
+        # checkpoint manifest, table stats) — don't re-scan the facts.
+        # Required columns: entity + n_rows; lo_us/hi_us optional
+        # (falls back to a global span probe only if chunk_s is unset).
+        stats = entity_stats
+        have_span = {"lo_us", "hi_us"} <= set(stats.columns)
+        sel = [entity, "n_rows"] + (["lo_us", "hi_us"] if have_span else [])
+        hot_rows = (
+            stats.select(*sel)
+            .filter(F.col("n_rows") > hot_threshold_rows)
+            .limit(max_hot_ids + 1)
+            .collect()
         )
-        .filter(F.col("n_rows") > hot_threshold_rows)
-        .collect()
-    )
+    else:
+        have_span = True
+        hot_rows = (
+            facts.groupBy(entity)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(epoch_us(ts)).alias("lo_us"),
+                F.max(epoch_us(ts)).alias("hi_us"),
+            )
+            .filter(F.col("n_rows") > hot_threshold_rows)
+            .limit(max_hot_ids + 1)
+            .collect()
+        )
     if not hot_rows:
         return asof_join_union(facts, annotations, entity, ts, ann_ts, value_cols)
+
+    if chunk_s is None:
+        if have_span and hot_rows:
+            span_s = max((r["hi_us"] - r["lo_us"]) // 1_000_000 for r in hot_rows)
+        else:
+            g = facts.agg(
+                F.min(epoch_us(ts)).alias("lo"), F.max(epoch_us(ts)).alias("hi")
+            ).first()
+            span_s = (g["hi"] - g["lo"]) // 1_000_000
+        n_chunks = 4 * facts.sparkSession.sparkContext.defaultParallelism
+        chunk_s = max(int(span_s // n_chunks) + 1, min_chunk_s)
+
+    if len(hot_rows) > max_hot_ids:
+        # hot set too large to embed as an isin()/CASE literal on the
+        # driver — the skew is broad, so time-chunk EVERY entity
+        # (hot_ids=None): cold keys pay the salting arithmetic but the
+        # plan stays bounded regardless of key cardinality.
+        return asof_join_chunked(
+            facts, annotations, chunk_s, entity, ts, ann_ts, value_cols,
+            hot_ids=None,
+        )
 
     # a NULL entity group is the classic dirty-data hot key: it groups
     # like any value in groupBy/window, but isin() never matches NULL,
@@ -590,11 +630,6 @@ def asof_join(
     hot_ids = sorted(
         (r[entity] for r in hot_rows), key=lambda v: (v is None, v)
     )
-    if chunk_s is None:
-        span_s = max((r["hi_us"] - r["lo_us"]) // 1_000_000 for r in hot_rows)
-        n_chunks = 4 * facts.sparkSession.sparkContext.defaultParallelism
-        chunk_s = max(int(span_s // n_chunks) + 1, min_chunk_s)
-
     return asof_join_chunked(
         facts, annotations, chunk_s, entity, ts, ann_ts, value_cols,
         hot_ids=hot_ids,

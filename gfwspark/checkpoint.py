@@ -38,8 +38,13 @@ import gfwspark
 
 
 def bucket_of(entity_col: str, n_buckets: int):
-    """Deterministic bucket id for an entity key (crc32 mod n)."""
-    return (F.crc32(F.col(entity_col).cast("string")) % n_buckets).cast("int")
+    """Deterministic bucket id for an entity key (crc32 mod n).
+
+    NULL keys map to a real bucket via a sentinel string (crc32(NULL)
+    is NULL, which would otherwise crash partition bookkeeping and
+    silently drop the null partition on dynamic overwrite)."""
+    key = F.coalesce(F.col(entity_col).cast("string"), F.lit("\x00__null__"))
+    return (F.crc32(key) % n_buckets).cast("int")
 
 
 def input_fingerprint(df: DataFrame, entity: str, ts: str, n_buckets: int = 0) -> str:

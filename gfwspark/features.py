@@ -145,6 +145,7 @@ def featurize_full(
     window_sizes: tuple[int, ...] = (4, 16, 64),
     session_gap_s: int = 3600,
     order_tiebreak: str | None = None,
+    asof_strategy: str = "union",
 ) -> DataFrame:
     """Full-width featurization: the 14-feature analog of the reference
     production config (--feature_dimensions 14,

@@ -302,6 +302,7 @@ def upsert_partitioned(
     keys: list[str],
     entity: str = "image_id",
     n_buckets: int = 16,
+    collect_stats: bool = True,
 ) -> dict:
     """MERGE-style upsert into a bucket-partitioned parquet table —
     the parquet stand-in for Iceberg MERGE INTO (same trick Iceberg's
@@ -335,11 +336,23 @@ def upsert_partitioned(
     b = batch.withColumn("_bucket", bucket_of(entity, n_buckets))
     touched = sorted(r["_bucket"] for r in b.select("_bucket").distinct().collect())
     n_up = b.count()
-    deleted = 0
+    deleted: int | None = 0
     if os.path.exists(path):
+        from functools import reduce
+        from operator import and_
+
         existing = spark.read.parquet(path).filter(F.col("_bucket").isin(touched))
-        keep = existing.join(b.select(*keys).distinct(), keys, "left_anti")
-        deleted = existing.count() - keep.count()
+        bk = b.select(*keys).distinct()
+        # eqNullSafe: MERGE key matching must treat NULL = NULL as a
+        # match, or null-keyed rows duplicate on every re-upsert
+        cond = reduce(and_, [existing[k].eqNullSafe(bk[k]) for k in keys])
+        keep = existing.join(bk, cond, "left_anti")
+        if collect_stats:
+            # one semi-join count of the touched buckets, not the
+            # count(existing) - count(keep) pair (two full rescans)
+            deleted = existing.join(bk, cond, "left_semi").count()
+        else:
+            deleted = None
         out = keep.unionByName(b)
     else:
         out = b
@@ -387,15 +400,28 @@ def compact_table(
                     b += os.path.getsize(os.path.join(root, f))
         return n, b
 
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # Recover from a previous crashed run before touching anything:
+    #  - old exists, path missing -> crashed between the two renames:
+    #    the original table is intact under `old`; put it back.
+    #  - old exists alongside path -> crashed before cleanup; old is a
+    #    superseded copy, drop it.
+    #  - tmp is always an incomplete/stale write at entry; drop it.
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     files_before, total_bytes = _stats(path)
     n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     out = df.repartition(n_out)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
-    tmp = path.rstrip("/") + "._compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -792,3 +792,82 @@ def test_asof_auto_null_hot_entity(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(want, got, check_dtype=False)
+
+
+def test_asof_auto_entity_stats_precomputed(img_df, ann_df):
+    """Passing precomputed entity_stats (layout.detect_skew shape) skips
+    the auto pre-scan but routes identically: equivalence holds with
+    full (n_rows, lo_us, hi_us) stats, with count-only stats (span
+    probed lazily only when chunk_s is unset), and with an explicit
+    chunk_s (no span needed at all)."""
+    from gfwspark.util import epoch_us
+
+    ann1 = ann_df.groupBy("image_id", "start_ts").agg(F.max("value").alias("value"))
+    small = img_df.select("image_id", "ts", "phash")
+    expected = (
+        asof.asof_join_union(small, ann1, value_cols=("value",))
+        .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    full_stats = small.groupBy("image_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(epoch_us("ts")).alias("lo_us"),
+        F.max(epoch_us("ts")).alias("hi_us"),
+    )
+    count_only = full_stats.select("image_id", "n_rows")
+    for stats, kw in (
+        (full_stats, {}),
+        (count_only, {}),
+        (count_only, {"chunk_s": 86400}),
+    ):
+        got = (
+            asof.asof_join(
+                small, ann1, value_cols=("value",), strategy="auto",
+                hot_threshold_rows=5, entity_stats=stats, **kw,
+            )
+            .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(expected, got, check_dtype=False)
+
+
+def test_asof_auto_max_hot_ids_overflow(img_df, ann_df):
+    """When the hot set exceeds max_hot_ids the dispatcher must NOT
+    embed an unbounded isin()/CASE literal: it falls back to chunking
+    every entity (hot_ids=None) and results still equal the union
+    form."""
+    ann1 = ann_df.groupBy("image_id", "start_ts").agg(F.max("value").alias("value"))
+    small = img_df.select("image_id", "ts", "phash")
+    expected = (
+        asof.asof_join_union(small, ann1, value_cols=("value",))
+        .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    got = (
+        asof.asof_join(
+            small, ann1, value_cols=("value",), strategy="auto",
+            hot_threshold_rows=2, max_hot_ids=3,
+        )
+        .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(expected, got, check_dtype=False)
+
+
+def test_featurize_full_with_annotations(img_df, ann_df):
+    """featurize_full(annotations=...) dispatches the as-of strategy
+    through its own signature (regression: asof_strategy was unbound)
+    and its asof_label column equals asof_join_union's on the same
+    inputs — for both the default and an explicit strategy."""
+    ann1 = ann_df.groupBy("image_id", "start_ts").agg(F.max("value").alias("label"))
+    want = (
+        asof.asof_join_union(
+            img_df.select("image_id", "ts"), ann1, value_cols=("label",)
+        )
+        .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+    )
+    for strat in ("union", "cogroup"):
+        out = features.featurize_full(
+            img_df, annotations=ann1, window_sizes=(4,), asof_strategy=strat
+        )
+        got = (
+            out.select("image_id", "ts", "asof_label")
+            .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(want, got, check_dtype=False)

@@ -280,3 +280,73 @@ def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
     part = after_df.toPandas()
     keys = list(zip(part["image_id"], part["seq"]))
     assert keys == sorted(keys)
+
+
+def test_upsert_partitioned_null_entity_key(spark, tmp_path):
+    """NULL entity keys land in a real sentinel bucket: they survive a
+    later upsert that does not touch them (the dynamic overwrite must
+    not drop the null partition), can themselves be updated by key,
+    and collect_stats=False skips the deleted count (one scan of the
+    existing bucket data)."""
+    path = str(tmp_path / "nulltbl")
+    base = spark.createDataFrame(
+        [(None, 0, "nullrow"), ("e1", 1, "v1"), ("e2", 2, "v2")],
+        "image_id string, seq int, val string",
+    )
+    r0 = sources.upsert_partitioned(spark, base, path, keys=["image_id", "seq"])
+    assert r0["upserted"] == 3
+
+    batch = spark.createDataFrame(
+        [("e1", 1, "UPDATED")], "image_id string, seq int, val string"
+    )
+    r1 = sources.upsert_partitioned(
+        spark, batch, path, keys=["image_id", "seq"], collect_stats=False
+    )
+    assert r1["deleted"] is None
+    got = spark.read.parquet(path).drop("_bucket").toPandas()
+    assert len(got) == 3
+    nullrow = got[got["image_id"].isna()]
+    assert len(nullrow) == 1 and nullrow["val"].iloc[0] == "nullrow"
+    assert got.loc[got["seq"] == 1, "val"].iloc[0] == "UPDATED"
+
+    # null-key rows are themselves updatable (NULL-safe key equality)
+    batch2 = spark.createDataFrame(
+        [(None, 0, "NULL-UPDATED")], "image_id string, seq int, val string"
+    )
+    r2 = sources.upsert_partitioned(spark, batch2, path, keys=["image_id", "seq"])
+    got2 = spark.read.parquet(path).drop("_bucket").toPandas()
+    assert len(got2) == 3
+    assert got2[got2["image_id"].isna()]["val"].iloc[0] == "NULL-UPDATED"
+    assert r2["deleted"] == 1
+
+
+def test_compact_table_crash_recovery(spark, tmp_path):
+    """Stale ._compact_tmp/old dirs from a crashed run do not wedge the
+    next invocation — and a crash between the two renames (no table at
+    path, original intact under ._compact_old) is recovered at entry."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "crash")
+    df = spark.createDataFrame(
+        [(f"e{i}", i) for i in range(100)], "image_id string, seq int"
+    )
+    df.repartition(8).write.mode("overwrite").parquet(path)
+    want = spark.read.parquet(path).toPandas().sort_values("seq").reset_index(drop=True)
+
+    # crash scenario A: stale tmp + stale old alongside a live table
+    os.makedirs(path + "._compact_tmp/junk")
+    shutil.copytree(path, path + "._compact_old")
+    r = sources.compact_table(spark, path, target_mb=128)
+    assert r["files_after"] == 1
+    assert not os.path.exists(path + "._compact_tmp")
+    assert not os.path.exists(path + "._compact_old")
+    got = spark.read.parquet(path).toPandas().sort_values("seq").reset_index(drop=True)
+    assert want.equals(got)
+
+    # crash scenario B: crashed between renames — table gone, old holds it
+    os.rename(path, path + "._compact_old")
+    assert not os.path.exists(path)
+    r2 = sources.compact_table(spark, path, target_mb=128)
+    got2 = spark.read.parquet(path).toPandas().sort_values("seq").reset_index(drop=True)
+    assert want.equals(got2)
