@@ -50,79 +50,78 @@ def register(name: str, oracle: str | None):
 # rows plus the local dtype-strict gate in tests/test_oracle_parity.py
 # (which replays ALL oracles at the driver's sf0.01 every session).
 #
-# Round-4 rotation: (a) debut rows for asof_join_chunked (registered
-# late in r3, never driver-sampled) and the two new r4 queries; (b)
-# stable_hash_ids re-gated now that it has a golden-as-oracle VALUES
-# table instead of `no_oracle`; (c) the 28 queries whose last driver
-# row is round 2 (metrics / ANN / text family — shared infrastructure
-# under them changed in r3); (d) the flagship set.  9 debut/re-gate +
-# 28 refresh + 13 flagship = 50 (five flagship queries yielded their
-# slots to r4 debuts; see the trailing comment).
+# Round-5 rotation: (a) the only two queries with no driver row EVER
+# (registered mid-r4 after the 50-slot window filled); (b) debut rows
+# for the queries NEW this round (composed LLM corpus-prep flagship,
+# storage-maintenance round-trips); (c) all 36 queries whose last
+# driver row is round 3 (the r4 rotation displaced them); (d) backfill
+# with the queries whose code paths CHANGED this round (asof auto
+# dispatch, featurize_full).  2 never-gated + 3 debut + 36 refresh +
+# 9 changed-code = 50.  With r4's rows, r4 ∪ r5 covers every
+# registered query at most one round stale.
 # ---------------------------------------------------------------------
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # debut rows (registered late-r3 / new in r4) + re-oracled golden
-    "asof_join_chunked",
+    # never driver-gated (registered mid-r4, window was full)
+    "containment_dups",
+    "winsorize_features",
+    # new this round — debut rows
+    "llm_corpus_prep",
+    "upsert_roundtrip",
+    "compact_roundtrip",
+    # last driver row is round 3 — refresh (36)
+    "consolidate_runs_daysplit",
+    "semi_anti_join",
+    "overlap_theta_join",
+    "hash_split",
+    "dedup_exact",
+    "ngram_jaccard_dups",
+    "minhash_lsh_dups",
+    "dedup_clusters",
+    "kmeans_refine",
+    "ann_ivf_trained",
+    "tfidf_top_terms",
+    "embed_dedup_clusters",
+    "phash_near_dups",
+    "minute_grid_agreement",
+    "score_rescale_softmax",
+    "argmax_array",
+    "multilabel_explode",
+    "repeat_pad_windows",
+    "aligned_windows",
+    "repeat_pad_roll",
+    "time_range_window",
+    "chunked_time_range",
+    "log_weighted_mean",
+    "finiteness_filter",
+    "salted_two_phase_agg",
+    "percentiles",
+    "per_entity_zscore",
+    "asof_join_broadcast",
+    "expanding_zscore",
+    "stratified_sample",
+    "pack_token_batches",
+    "sliding_feature_windows",
+    "sliding_agg_large",
+    "range_anchored_windows",
+    "sampled_time_windows",
+    "range_feature_windows",
+    # code paths changed this round — re-gate (9)
     "asof_join_auto",
-    "phash_dedup_clusters",
-    "stable_hash_ids",
-    "bloom_semi_join",
-    "temporal_split_embargo",
-    "aspect_bucket_batches",
-    "doc_repetition",
-    "decontaminate_13gram",
-    # last driver row is round 2 — refresh (28)
-    "topk_per_group",
-    "dedup_priority",
-    "class_weights",
-    "token_explode_count",
-    "doc_stats",
-    "token_counts",
-    "doc_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "minhash_signatures",
-    "simhash",
-    "ann_brute_topk",
-    "ann_lsh_topk",
-    "embedding_near_dups",
-    "ann_lsh_multiprobe",
-    "ann_ivf_topk",
-    "score_consolidation",
-    "masked_attribute_mean",
-    "time_weighted_entity_weight",
-    "confusion_matrix",
-    "precision_recall_f1",
-    "composite_rollup",
-    "normalization_stats",
-    "class_prevalence",
-    "multihot_encode",
-    "semiyear_union",
-    "id_set_ops",
-    "train_info_cte",
-    # headline / flagship set (13 this round; 5 slots lent to debuts)
-    "flagship_featurize",
+    "asof_join_chunked",
     "asof_join_union",
     "asof_join_cogroup",
+    "flagship_featurize",
     "sliding_windows",
     "sessionize",
-    "consolidate_runs",
-    "lag_lead",
-    "tumbling_daily",
-    "month_grid_windows",
-    "ffill_backfill",
-    "weighted_sample",
-    "entity_minmax_agg",
-    "equi_join_broadcast",
+    "stable_hash_ids",
+    "bloom_semi_join",
 )
-# rotated out for round 4 (r3 driver-green, keep local parity coverage):
-# the W1-W7 sampler/extractor family, zscore/percentile family,
-# dedup_exact/dedup_clusters/minhash_lsh_dups/ngram_jaccard_dups,
-# kmeans_refine, ann_ivf_trained, tfidf_top_terms, embed_dedup_clusters,
-# phash_near_dups, sliding_agg_large — they follow in registration
-# order.  semi_anti_join / overlap_theta_join / hash_split /
-# consolidate_runs_daysplit / minute_grid_agreement yielded their
-# flagship-set slots to the five queries NEW this round
+# rotated out for round 5 (all r4 driver-green, keep local parity
+# coverage): the r4 debut set (phash_dedup_clusters,
+# temporal_split_embargo, aspect_bucket_batches, doc_repetition,
+# decontaminate_13gram), the r2-refresh metrics/ANN/text family, and
+# the remaining flagship queries — they follow in registration order
 # (bloom_semi_join, temporal_split_embargo, aspect_bucket_batches,
 # doc_repetition, decontaminate_13gram) so debuts land driver-green in
 # the round that introduces them; all five displaced queries are

@@ -859,10 +859,17 @@ def q_asof_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 # Winsorized per-entity feature clipping (leakage-safe feature
 # scaling's outlier step): clip each entity's values to its own
-# [p05, p95] — a broadcast-joined two-pass shape (tiny percentile dim
-# joined back to the facts), the standard robust-scaling preparation
-# before normalization_stats.  round(6) on the percentile bounds per
-# the interpolation policy; the clip itself is exact.
+# [p05, p95] — the standard robust-scaling preparation before
+# normalization_stats.  The bounds are computed with percentile() OVER
+# an entity-partitioned window, NOT a groupBy + join back: the
+# entity-keyed percentile "dim" has one row per entity, so at 10^12
+# rows it is itself a billion-row frame — broadcasting it is a driver
+# OOM and shuffle-joining it doubles the fact shuffle, while the
+# window form computes and applies the bounds inside the single
+# entity partitioning (plan pinned join-free in
+# tests/test_plans.py::test_winsorize_plan_single_exchange_no_join).
+# round(6) on the percentile bounds per the interpolation policy; the
+# clip itself is exact.
 # ---------------------------------------------------------------------
 
 _WINSORIZE_ORACLE = """
@@ -881,24 +888,18 @@ FROM events e JOIN b USING (user_id)
 
 @register("winsorize_features", _WINSORIZE_ORACLE)
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = tables.load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value"
     )
-    bounds = ev.groupBy("user_id").agg(
-        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
-        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
-    )
-    return (
-        ev.join(F.broadcast(bounds), "user_id")
-        .select(
-            "event_id",
-            "user_id",
-            "value",
-            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
-                "value_w"
-            ),
-            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
-                "clipped"
-            ),
-        )
+    w = Window.partitionBy("user_id")
+    lo = F.round(F.percentile("value", F.lit(0.05)).over(w), 6)
+    hi = F.round(F.percentile("value", F.lit(0.95)).over(w), 6)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.least(F.greatest(F.col("value"), lo), hi).alias("value_w"),
+        ((F.col("value") < lo) | (F.col("value") > hi)).alias("clipped"),
     )

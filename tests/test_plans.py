@@ -139,3 +139,16 @@ def test_aligned_windows_stays_jvm_side(spark):
     plan = _plan(queries.all_queries()["aligned_windows"](spark, SF_MED))
     assert "FlatMapGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winsorize_plan_single_exchange_no_join(spark):
+    """Per-entity winsorization must compute its percentile bounds
+    with a window over the entity partitioning, never by materializing
+    an entity-keyed bounds dim and joining it back: at 10^12 rows that
+    'dim' is a billion-row frame (a broadcast OOM / a second fact-size
+    shuffle).  Plan contract: zero joins of any kind, zero
+    BroadcastExchange, exactly one shuffle of the facts."""
+    plan = _plan(queries.all_queries()["winsorize_features"](spark, SF_MED))
+    assert "BroadcastExchange" not in plan
+    assert "Join" not in plan  # covers SortMergeJoin/BroadcastHashJoin/etc.
+    assert plan.count("Exchange") == 1
