@@ -51,6 +51,8 @@ HEADLINE = [
     # stay computable across rounds)
     "range_anchored_windows",
     "sampled_time_windows",
+    # added round 5: the composed corpus-prep flagship
+    "llm_corpus_prep",
 ]
 
 

@@ -1126,3 +1126,223 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(text.tokens_col("text"), 1, 20)).alias("text"),
     )
     return dedup.containment_pairs(d.unionByName(planted), threshold=0.9)
+
+
+# ---------------------------------------------------------------------
+# llm_corpus_prep — the COMPOSED end-to-end corpus-preparation flagship
+# (gfwspark/corpus.py): quality gate -> repetition gate -> exact dedup
+# -> MinHash near-dedup -> 13-gram decontamination -> embargoed
+# temporal split -> per-(split, source) token-budget packing, one
+# DataFrame pipeline.  Every stage's failure mode is PLANTED so each
+# gate is non-vacuous at sf0.01:
+#   doc_id <  25        -> verbatim copy at +100000  (exact dedup)
+#   doc_id % 100 == 0   -> punct junk at +300000     (quality gate)
+#   doc_id % 100 == 1   -> 'spam'*40 at +400000      (repetition gate)
+#   doc_id % 100 == 2   -> first-token-swapped copy at +500000
+#                          (MinHash near-dedup; J ~ (n-5)/(n+1) >> 0.5)
+#   doc_id % 50  == 0   -> its own token span 11..40 is the benchmark
+#                          (decontamination)
+# Ingestion ts is synthesized deterministically (doc_id hours), so the
+# per-source embargoed split is reproducible in both engines.
+# ---------------------------------------------------------------------
+
+_CP_HORIZON_US = 100 * 3600 * 1_000_000
+_CP_EMBARGO_US = 40 * 3600 * 1_000_000
+
+_CORPUS_PREP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, source
+  FROM documents WHERE doc_id < 25
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, txt AS text, source FROM (
+    SELECT doc_id, '!!!! ;;;; ???? ' || cast(doc_id AS varchar) AS txt, source
+    FROM documents WHERE doc_id % 100 = 0)
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id, txt AS text, source FROM (
+    SELECT doc_id, repeat('spam ', 40) || cast(doc_id AS varchar) AS txt, source
+    FROM documents WHERE doc_id % 100 = 1)
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, txt AS text, source FROM (
+    SELECT doc_id,
+      CASE WHEN len(toks) > 1
+        THEN 'NEARDUP ' || array_to_string(toks[2:len(toks)], ' ')
+        ELSE 'NEARDUP' END AS txt,
+      source
+    FROM (SELECT doc_id, {_D_TOKS} AS toks, source FROM documents)
+    WHERE doc_id % 100 = 2)
+),
+q AS (
+  SELECT base.*,
+    round(cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS double)
+          / greatest(length(text), 1), 6) AS alpha_ratio,
+    round(cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS double)
+          / greatest(length(text), 1), 6) AS punct_ratio
+  FROM base
+),
+s1 AS (
+  SELECT doc_id, text, source,
+    round(
+      (CASE WHEN length(text) BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.5 END)
+      * least(1.0, alpha_ratio * 1.25)
+      * (1.0 - least(1.0, punct_ratio * 5)), 6) AS quality
+  FROM q
+  WHERE round(
+      (CASE WHEN length(text) BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.5 END)
+      * least(1.0, alpha_ratio * 1.25)
+      * (1.0 - least(1.0, punct_ratio * 5)), 6) >= 0.999
+),
+t2 AS (SELECT doc_id, {_D_TOKS_GUARDED} AS toks FROM s1),
+u2 AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+        unnest(generate_series(1, len(toks) - 1)) AS i FROM t2)
+),
+r2 AS (SELECT doc_id,
+  cast(count(*) - count(DISTINCT gram) AS double) / count(*) AS f2
+  FROM u2 GROUP BY doc_id),
+s2 AS (
+  SELECT s1.*, coalesce(r2.f2, 0.0) AS dup_2gram_frac
+  FROM s1 LEFT JOIN r2 USING (doc_id)
+  WHERE coalesce(r2.f2, 0.0) <= 0.1
+),
+s3 AS (
+  SELECT doc_id, text, source, quality, dup_2gram_frac FROM (
+    SELECT s2.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM s2)
+  WHERE rn = 1
+),
+t3 AS (SELECT doc_id, {_D_TOKS_GUARDED} AS toks FROM s3),
+sh AS (
+  SELECT DISTINCT doc_id, {_d_hash32('shingle')} AS sh_hash FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(toks) >= 3 THEN
+        list_transform(generate_series(1, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      ELSE [array_to_string(toks, ' ')] END) AS shingle
+    FROM t3
+  )
+),
+sig AS (SELECT doc_id, {_mh_exprs} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh_hash = sa.sh_hash
+  GROUP BY c.doc_a, c.doc_b
+),
+dropb AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(cast(i.n_inter AS double)
+              / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.5
+),
+s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM dropb)),
+t4 AS (SELECT doc_id, {_D_TOKS_GUARDED} AS toks FROM s4),
+cg AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+        unnest(generate_series(1, len(toks) - 12)) AS i FROM t4)
+),
+bg AS (
+  SELECT DISTINCT array_to_string(btoks[i:i+12], ' ') AS gram
+  FROM (SELECT btoks, unnest(generate_series(1, len(btoks) - 12)) AS i
+        FROM (SELECT toks[11:40] AS btoks
+              FROM (SELECT doc_id, {_D_TOKS_GUARDED} AS toks FROM documents)
+              WHERE doc_id % 50 = 0))
+),
+contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
+s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+m AS (
+  SELECT s5.*, doc_id * 3600000000 AS t_us,
+    max(doc_id * 3600000000) OVER (PARTITION BY source) - {_CP_HORIZON_US}
+      AS cutoff_us
+  FROM s5
+),
+s6 AS (
+  SELECT doc_id, text, source, quality, dup_2gram_frac,
+    CASE WHEN t_us > cutoff_us THEN 'val' ELSE 'train' END AS split
+  FROM m
+  WHERE t_us > cutoff_us OR t_us <= cutoff_us - {_CP_EMBARGO_US}
+),
+s7 AS (
+  SELECT doc_id, source, quality, dup_2gram_frac, split,
+    cast(len({_D_TOKS_GUARDED}) AS bigint) AS n_tokens
+  FROM s6
+),
+p AS (
+  SELECT s7.*,
+    cast(sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      AS bigint) AS batch_start_offset
+  FROM s7
+)
+SELECT doc_id, source, quality, dup_2gram_frac, n_tokens, split,
+  cast(floor(batch_start_offset / 512.0) AS bigint) AS batch_id,
+  batch_start_offset
+FROM p
+"""
+
+
+@register("llm_corpus_prep", _CORPUS_PREP_ORACLE)
+def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfwspark import corpus
+
+    d = tables.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    toks = text.tokens_col("text")
+    copies = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+    )
+    junk = d.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit("!!!! ;;;; ???? "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+        "source",
+    )
+    spammy = d.filter(F.col("doc_id") % 100 == 1).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.repeat(F.lit("spam "), 40), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+        "source",
+    )
+    near = d.filter(F.col("doc_id") % 100 == 2).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.when(
+            F.size(toks) > 1,
+            F.concat(
+                F.lit("NEARDUP "),
+                F.concat_ws(" ", F.slice(toks, 2, 2147483000)),
+            ),
+        ).otherwise(F.lit("NEARDUP")).alias("text"),
+        "source",
+    )
+    base = (
+        d.unionByName(copies)
+        .unionByName(junk)
+        .unionByName(spammy)
+        .unionByName(near)
+        .withColumn(
+            "ts", F.timestamp_micros(F.col("doc_id") * F.lit(3_600_000_000))
+        )
+    )
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.concat_ws(" ", F.slice(toks, 11, 30)).alias("text")
+    )
+    # materialize_survivors: the production configuration — the
+    # survivor frame feeds four branches (see corpus.prepare_corpus)
+    return corpus.prepare_corpus(base, bench, materialize_survivors=True)

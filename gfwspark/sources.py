@@ -208,7 +208,7 @@ def pack_token_budget_batches(
     token_col: str,
     budget: int,
     order_cols: list[str],
-    partition_col: str | None = None,
+    partition_col: str | list[str] | None = None,
     allow_global: bool = False,
 ) -> DataFrame:
     """Contiguous token-budget sharding (training-batch packing): rows
@@ -226,7 +226,10 @@ def pack_token_budget_batches(
     whole input collapses onto one task.  That is only sane for small
     frames, so it must be opted into explicitly with
     allow_global=True; otherwise this raises rather than silently
-    degrading to a serial plan."""
+    degrading to a serial plan.  A list packs independently per
+    composite key (e.g. (split, source)) — the parallelism is the
+    composite cardinality, so prefer the widest key that still means
+    "one training shard"."""
     from pyspark.sql import Window as _W
 
     if partition_col is None and not allow_global:
@@ -237,7 +240,12 @@ def pack_token_budget_batches(
             "allow_global=True to accept the serial global scan on a "
             "small frame."
         )
-    part = [partition_col] if partition_col else []
+    if partition_col is None:
+        part = []
+    elif isinstance(partition_col, str):
+        part = [partition_col]
+    else:
+        part = list(partition_col)
     w = (
         _W.partitionBy(*part)
         .orderBy(*[F.col(c) for c in order_cols])

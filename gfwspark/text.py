@@ -266,13 +266,24 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text",
     For each n: dup_{n}gram_frac = 1 - distinct/total n-grams (0 when
     the doc has < n tokens).  The single IEEE division is bit-identical
     across engines (engine float policy) — no rounding needed.
-    Everything is per-row array arithmetic: no shuffle at all."""
+    Everything is per-row array arithmetic: no shuffle beyond the
+    parallelism repartition.
+
+    Perf shape: the n-gram transform must appear ONCE per expression —
+    Catalyst does not common-subexpression-eliminate nested
+    higher-order functions, so `size(grams)` + `array_distinct(grams)`
+    + a guard referencing grams evaluates the whole transform three
+    times (measured 13 s -> 0.8 s at sf0.1 for the single-reference
+    form).  The total n-gram count is free arithmetic
+    (size(toks) - n + 1), so only the distinct count touches the
+    array.  ensure_explode_parallelism first: a single-row-group
+    parquet scan otherwise runs every per-row transform on one core."""
+    df = ensure_explode_parallelism(df)
     t = tokens_col(text_col)
     out = df
     for n in ns:
-        grams = ngrams_col(t, n)
-        total = F.size(grams)
-        distinct = F.size(F.array_distinct(grams))
+        total = F.greatest(F.size(t) - (n - 1), F.lit(0))
+        distinct = F.size(F.array_distinct(ngrams_col(t, n)))
         out = out.withColumn(
             f"dup_{n}gram_frac",
             F.when(
@@ -301,20 +312,24 @@ def ngram_decontaminate(
     contains (the triage signal: 1 collision is a coincidence
     candidate, dozens mean verbatim inclusion).
 
-    Scale shape: both sides explode to distinct (id, gram) /(gram)
-    rows; the join key is the raw gram string here for oracle
-    transparency — at corpus scale hash the gram first (xxhash64) so
-    the shuffle carries 8 bytes/gram, and broadcast the benchmark side
-    (eval suites are tiny next to a training corpus; Catalyst already
-    picks broadcast under the threshold).  One aggregation by doc."""
-    c = corpus.select(
+    Scale shape: the corpus side explodes to (id, gram) rows and is
+    SEMI-JOINED BEFORE any distinct — the benchmark side is tiny next
+    to a training corpus, so Catalyst broadcasts it and the semi join
+    runs map-side; only the matched grams (a sliver of the corpus)
+    ever shuffle, for the per-doc distinct+count.  The reverse order
+    (distinct first) shuffles every corpus gram — the whole corpus's
+    token stream × n — before the filter.  The join key is the raw
+    gram string for oracle transparency; at extreme scale hash it
+    first (text.token_hash32) so matched rows carry 8 bytes."""
+    c = ensure_explode_parallelism(corpus).select(
         F.col(id_col), F.explode(ngrams_col(tokens_col(text_col), n)).alias("gram")
-    ).distinct()
+    )
     b = benchmark.select(
         F.explode(ngrams_col(tokens_col(bench_text_col), n)).alias("gram")
     ).distinct()
     return (
-        c.join(b, "gram", "left_semi")
+        c.join(F.broadcast(b), "gram", "left_semi")
+        .distinct()
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
     )

@@ -517,3 +517,70 @@ def test_ivf_index_at_rest_partition_pruned(spark, tmp_path):
     )
     assert got["vec_id"].tolist() == want["vec_id"].tolist()
     assert got["cid"].tolist() == want["cid"].tolist()
+
+
+def test_prepare_corpus_stage_attribution(spark):
+    """Each planted failure family is dropped by its intended stage —
+    the composed pipeline's per-stage behavior, checked end-to-end on
+    the sf0.001 documents table (oracle equality is the driver's job;
+    this pins WHICH stage removed WHAT)."""
+    import pyspark.sql.functions as F
+
+    from gfwspark import queries
+    from tests.conftest import SF_SMALL
+
+    out = queries.all_queries()["llm_corpus_prep"](spark, SF_SMALL).toPandas()
+    ids = set(out["doc_id"])
+    # deterministic-gate plants never survive: exact copies (+100000),
+    # punct junk (+300000), repetition spam (+400000)
+    assert not any(100000 <= i < 500000 for i in ids), "a planted doc survived"
+    # near-dup plants (+500000) go through MinHash-LSH, whose banding
+    # has a real (deterministic, engine-identical) miss probability on
+    # SHORT docs — require most of the 5 plants caught, not all
+    n_near_alive = sum(1 for i in ids if i >= 500000)
+    assert n_near_alive <= 2, f"{n_near_alive} near-dup plants survived LSH"
+    # benchmark-source docs (doc_id % 50 == 0) are decontaminated away
+    # when their span 11..40 actually yields a 13-gram (>= 23 tokens);
+    # shorter ones contribute nothing to the benchmark and may survive
+    from gfwspark import tables, text as _text
+
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in tables.load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", F.size(_text.tokens_col("text")).alias("n"))
+        .collect()
+    }
+    bench_alive = [i for i in ids if i < 100000 and i % 50 == 0]
+    assert all(ntok[i] < 23 for i in bench_alive), bench_alive
+    # survivors exist on both sides of the split and pack contiguously
+    assert set(out["split"]) == {"train", "val"}
+    for (_s, _src), grp in out.groupby(["split", "source"]):
+        grp = grp.sort_values("doc_id")
+        # batch ids are non-decreasing and offsets are the exclusive
+        # running sum in doc_id order
+        assert (grp["batch_id"].diff().dropna() >= 0).all()
+        expect = grp["n_tokens"].cumsum() - grp["n_tokens"]
+        assert (grp["batch_start_offset"].to_numpy() == expect.to_numpy()).all()
+
+
+def test_prepare_corpus_materialize_survivors_equal(spark):
+    """materialize_survivors=True (the production recompute-avoidance
+    path) returns exactly the lazy plan's rows."""
+    from gfwspark import corpus, tables, text
+    import pyspark.sql.functions as F
+
+    d = tables.load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "source"
+    ).withColumn("ts", F.timestamp_micros(F.col("doc_id") * F.lit(3_600_000_000)))
+    toks = text.tokens_col("text")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.concat_ws(" ", F.slice(toks, 11, 30)).alias("text")
+    )
+    a = corpus.prepare_corpus(d, bench).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        corpus.prepare_corpus(d, bench, materialize_survivors=True)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)

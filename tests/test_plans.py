@@ -152,3 +152,18 @@ def test_winsorize_plan_single_exchange_no_join(spark):
     assert "BroadcastExchange" not in plan
     assert "Join" not in plan  # covers SortMergeJoin/BroadcastHashJoin/etc.
     assert plan.count("Exchange") == 1
+
+
+def test_corpus_prep_plan_shape(spark):
+    """The composed corpus-prep flagship stays JVM-side end-to-end (no
+    Python eval nodes anywhere in a 7-stage pipeline), never cross
+    joins (the LSH band join and gram semi-join are key joins), and
+    its benchmark/dedup dims broadcast rather than shuffling the
+    corpus side."""
+    plan = _plan(queries.all_queries()["llm_corpus_prep"](spark, SF_MED))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    # anti/semi membership joins against the (tiny relative to corpus)
+    # drop-lists broadcast; corpus-side rows never shuffle for them
+    assert "BroadcastHashJoin" in plan
