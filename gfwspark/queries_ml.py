@@ -1346,3 +1346,92 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize_survivors: the production configuration — the
     # survivor frame feeds four branches (see corpus.prepare_corpus)
     return corpus.prepare_corpus(base, bench, materialize_survivors=True)
+
+
+# ---------------------------------------------------------------------
+# Storage-maintenance round-trips, driver-surfaced: the upsert sink and
+# the compaction rewrite run FOR REAL against a scratch parquet table
+# on every invocation, and the query returns the READ-BACK rows — so
+# the oracle (pure SQL over the source table) checks the on-disk
+# result of the full write -> merge -> rewrite cycle, not a simulation.
+#   upsert_roundtrip: seed table = events; batch updates value+1000 on
+#     event_id % 10 == 0 and inserts event_id + 1000000 copies of
+#     event_id % 100 == 0; expected state is closed-form over events.
+#   compact_roundtrip: fragment events into 64 files, compact to the
+#     byte-sized target, return the read-back rows + real file count.
+# ---------------------------------------------------------------------
+
+_UPSERT_RT_ORACLE = """
+SELECT event_id, user_id,
+  CASE WHEN event_id % 10 = 0 THEN value + 1000.0 ELSE value END AS val
+FROM events
+UNION ALL
+SELECT event_id + 1000000 AS event_id, user_id, -1.0 AS val
+FROM events WHERE event_id % 100 = 0
+"""
+
+
+@register("upsert_roundtrip", _UPSERT_RT_ORACLE)
+def q_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gfwspark import sources
+
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").alias("val")
+    )
+    path = tempfile.mkdtemp(prefix="gfw_upsert_rt_")
+    shutil.rmtree(path)  # the sink owns the directory lifecycle
+    try:
+        sources.upsert_partitioned(
+            spark, ev, path, keys=["event_id"], entity="user_id",
+            collect_stats=False,
+        )
+        updates = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+            "val", F.col("val") + 1000.0
+        )
+        inserts = ev.filter(F.col("event_id") % 100 == 0).select(
+            (F.col("event_id") + 1000000).alias("event_id"),
+            "user_id",
+            F.lit(-1.0).alias("val"),
+        )
+        sources.upsert_partitioned(
+            spark, updates.unionByName(inserts), path, keys=["event_id"],
+            entity="user_id", collect_stats=False,
+        )
+        out = spark.read.parquet(path).select("event_id", "user_id", "val")
+        # the scratch table is deleted below; materialize before return
+        return spark.createDataFrame(out.toPandas())
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_COMPACT_RT_ORACLE = """
+SELECT event_id, user_id, value, cast(1 AS bigint) AS n_files FROM events
+"""
+
+
+@register("compact_roundtrip", _COMPACT_RT_ORACLE)
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gfwspark import sources
+
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = tempfile.mkdtemp(prefix="gfw_compact_rt_")
+    shutil.rmtree(path)
+    try:
+        ev.repartition(64).write.parquet(path)
+        r = sources.compact_table(
+            spark, path, target_mb=1024, sort_cols=["user_id", "event_id"]
+        )
+        out = spark.read.parquet(path).withColumn(
+            "n_files", F.lit(int(r["files_after"])).cast("long")
+        )
+        return spark.createDataFrame(out.toPandas())
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
