@@ -131,10 +131,24 @@ def _asof_skew_bench(spark) -> dict[str, float]:
     )
     span_s = hot_pts
     chunk_s = max(span_s // (4 * spark.sparkContext.defaultParallelism), 3600)
+    # precomputed layout stats (layout.detect_skew shape + ts span):
+    # the asof_skew_auto_stats entry shows auto's dispatch cost with
+    # the pre-scan amortized away — the caller already profiled the
+    # layout, so auto should track pure chunked within ~10%
+    from gfwspark.util import epoch_us
+
+    stats = facts.groupBy("image_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(epoch_us("ts")).alias("lo_us"),
+        F.max(epoch_us("ts")).alias("hi_us"),
+    ).localCheckpoint(eager=True)
     runs = {
         "asof_skew_union": lambda: A.asof_join_union(facts, ann),
         "asof_skew_chunked": lambda: A.asof_join_chunked(facts, ann, chunk_s),
         "asof_skew_auto": lambda: A.asof_join(facts, ann, strategy="auto"),
+        "asof_skew_auto_stats": lambda: A.asof_join(
+            facts, ann, strategy="auto", entity_stats=stats
+        ),
     }
     out: dict[str, float] = {}
     for name, build in runs.items():

@@ -56,8 +56,8 @@ def register(name: str, oracle: str | None):
 # storage-maintenance round-trips); (c) all 36 queries whose last
 # driver row is round 3 (the r4 rotation displaced them); (d) backfill
 # with the queries whose code paths CHANGED this round (asof auto
-# dispatch, featurize_full).  2 never-gated + 3 debut + 36 refresh +
-# 9 changed-code = 50.  With r4's rows, r4 ∪ r5 covers every
+# dispatch, featurize_full).  2 never-gated + 5 debut + 36 refresh +
+# 7 changed-code = 50.  With r4's rows, r4 ∪ r5 covers every
 # registered query at most one round stale.
 # ---------------------------------------------------------------------
 
@@ -69,6 +69,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "llm_corpus_prep",
     "upsert_roundtrip",
     "compact_roundtrip",
+    "pii_scrub",
+    "quality_classifier",
     # last driver row is round 3 — refresh (36)
     "consolidate_runs_daysplit",
     "semi_anti_join",
@@ -112,10 +114,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_join_union",
     "asof_join_cogroup",
     "flagship_featurize",
-    "sliding_windows",
     "sessionize",
     "stable_hash_ids",
-    "bloom_semi_join",
 )
 # rotated out for round 5 (all r4 driver-green, keep local parity
 # coverage): the r4 debut set (phash_dedup_clusters,

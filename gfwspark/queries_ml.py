@@ -1435,3 +1435,184 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.toPandas())
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------
+# PII scrub (text.scrub_pii): per-row regex redaction counts + the
+# redacted text.  PII strings are PLANTED (doc_id % 30 == 0 gets an
+# email, two phone formats, and an IPv4 appended) since the synthetic
+# corpus contains none.  Patterns live in text.PII_PATTERNS, in the
+# common Java-regex / RE2 / DuckDB-RE2 subset, applied in fixed order;
+# counts are taken on the original text.
+# ---------------------------------------------------------------------
+
+_PII_SQL_TMPL = """
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 30 = 0
+      THEN text || ' reach user' || cast(doc_id AS varchar)
+           || '@mail.example.com or call 555-867-5309 / 555 123 4567,'
+           || ' host 10.0.' || cast(doc_id % 256 AS varchar) || '.77'
+      ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  cast(len(regexp_extract_all(text, '@EMAIL@')) AS int) AS n_email,
+  cast(len(regexp_extract_all(text, '@PHONE@')) AS int) AS n_phone,
+  cast(len(regexp_extract_all(text, '@IPV4@')) AS int) AS n_ipv4,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g'),
+      '@PHONE@', '<PHONE>', 'g'),
+    '@IPV4@', '<IP>', 'g') AS scrubbed
+FROM base
+"""
+
+_PII_ORACLE = (
+    _PII_SQL_TMPL.replace("@EMAIL@", text.PII_PATTERNS[0][1])
+    .replace("@PHONE@", text.PII_PATTERNS[1][1])
+    .replace("@IPV4@", text.PII_PATTERNS[2][1])
+)
+
+
+@register("pii_scrub", _PII_ORACLE)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-867-5309 / 555 123 4567, host 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".77"),
+    )
+    d = d.withColumn(
+        "text", F.when(F.col("doc_id") % 30 == 0, planted).otherwise(F.col("text"))
+    )
+    out = text.scrub_pii(d)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        "scrubbed",
+    )
+
+
+# ---------------------------------------------------------------------
+# Model-based quality filter: full-batch logistic-regression training
+# (classify.logreg_fit, 2 GD iterations) on doc-stat features, plus
+# the trained model's accuracy — the iterative-algorithm sibling of
+# kmeans_refine, oracle-unrolled the same way.  Features: alpha_ratio,
+# punct_ratio (round-6 doubles from the quality pass), n_tokens/100;
+# label: long doc (>= 60 tokens).  Every sigmoid is round(6) with z
+# clipped to [-30,30] before exp; every gradient sum routes through
+# decimal(20,12); weights re-round to 6 each step — so two unrolled
+# SQL iterations reproduce the distributed fit bit-for-bit.
+# ---------------------------------------------------------------------
+
+_LR_FEATS = f"""
+SELECT
+  round(cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS double)
+        / greatest(length(text), 1), 6) AS x_alpha,
+  round(cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS double)
+        / greatest(length(text), 1), 6) AS x_punct,
+  round(cast(len({_D_TOKS_GUARDED}) AS double) / 100.0, 6) AS x_ntok,
+  CASE WHEN len({_D_TOKS_GUARDED}) >= 60 THEN 1.0 ELSE 0.0 END AS y
+FROM documents
+"""
+
+
+def _lr_sig(z: str) -> str:
+    return f"round(1.0 / (1.0 + exp(-greatest(-30.0, least(30.0, {z})))), 6)"
+
+
+_LOGREG_ORACLE = f"""
+WITH feats AS ({_LR_FEATS}),
+g1 AS (
+  SELECT count(*) AS n,
+    sum(cast(round(x_alpha * (y - 0.5), 6) AS decimal(20,12))) AS ga,
+    sum(cast(round(x_punct * (y - 0.5), 6) AS decimal(20,12))) AS gp,
+    sum(cast(round(x_ntok  * (y - 0.5), 6) AS decimal(20,12))) AS gt,
+    sum(cast(round(y - 0.5, 6)            AS decimal(20,12))) AS gb
+  FROM feats
+),
+w1 AS (
+  SELECT n,
+    round(round(cast(ga AS double) / n, 6), 6) AS wa,
+    round(round(cast(gp AS double) / n, 6), 6) AS wp,
+    round(round(cast(gt AS double) / n, 6), 6) AS wt,
+    round(round(cast(gb AS double) / n, 6), 6) AS b
+  FROM g1
+),
+p2 AS (
+  SELECT f.*, w1.n, w1.wa, w1.wp, w1.wt, w1.b,
+    {_lr_sig("round(w1.b + w1.wa * f.x_alpha + w1.wp * f.x_punct + w1.wt * f.x_ntok, 6)")} AS p
+  FROM feats f CROSS JOIN w1
+),
+g2 AS (
+  SELECT any_value(n) AS n, any_value(wa) AS wa, any_value(wp) AS wp,
+    any_value(wt) AS wt, any_value(b) AS b,
+    sum(cast(round(x_alpha * (y - p), 6) AS decimal(20,12))) AS ga,
+    sum(cast(round(x_punct * (y - p), 6) AS decimal(20,12))) AS gp,
+    sum(cast(round(x_ntok  * (y - p), 6) AS decimal(20,12))) AS gt,
+    sum(cast(round(y - p, 6)            AS decimal(20,12))) AS gb
+  FROM p2
+),
+w2 AS (
+  SELECT n,
+    round(wa + round(cast(ga AS double) / n, 6), 6) AS wa,
+    round(wp + round(cast(gp AS double) / n, 6), 6) AS wp,
+    round(wt + round(cast(gt AS double) / n, 6), 6) AS wt,
+    round(b  + round(cast(gb AS double) / n, 6), 6) AS b
+  FROM g2
+),
+acc AS (
+  SELECT round(cast(sum(CASE WHEN
+      ({_lr_sig("round(w2.b + w2.wa * f.x_alpha + w2.wp * f.x_punct + w2.wt * f.x_ntok, 6)")} >= 0.5)
+      = (f.y = 1.0) THEN 1 ELSE 0 END) AS double) / any_value(w2.n), 6) AS a
+  FROM feats f CROSS JOIN w2
+)
+SELECT 'accuracy' AS coef, a AS value FROM acc
+UNION ALL SELECT 'bias', b FROM w2
+UNION ALL SELECT 'w_alpha', wa FROM w2
+UNION ALL SELECT 'w_ntok', wt FROM w2
+UNION ALL SELECT 'w_punct', wp FROM w2
+"""
+
+
+@register("quality_classifier", _LOGREG_ORACLE)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfwspark import classify
+
+    d = tables.load_table(spark, sf_dir, "documents")
+    n_tok = F.size(text.tokens_col("text"))
+    feats = text.with_quality_score(d).select(
+        F.col("alpha_ratio").alias("x_alpha"),
+        F.col("punct_ratio").alias("x_punct"),
+        F.round(n_tok.cast("double") / 100.0, 6).alias("x_ntok"),
+        F.when(n_tok >= 60, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+    w, b = classify.logreg_fit(
+        feats, ["x_alpha", "x_punct", "x_ntok"], "y", n_iter=2
+    )
+    scored = classify.logreg_score(feats, w, b)
+    acc = scored.agg(
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("p_quality") >= 0.5) == (F.col("y") == 1.0), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("a")
+    ).first()["a"]
+    rows = [
+        ("accuracy", float(acc)),
+        ("bias", float(b)),
+        ("w_alpha", float(w["x_alpha"])),
+        ("w_ntok", float(w["x_ntok"])),
+        ("w_punct", float(w["x_punct"])),
+    ]
+    return spark.createDataFrame(rows, "coef string, value double")

@@ -333,3 +333,33 @@ def ngram_decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
     )
+
+
+# ordered PII patterns: email first (its local part could otherwise be
+# chewed up by a later pattern), then phone, then IPv4.  Patterns stay
+# in the common Java-regex / RE2 subset (no lookaround, no \b-adjacent
+# quirks) so Spark and an ANSI-SQL oracle match byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the public corpus-prep scrub pass (C4 removed
+    lines with certain tokens; most open pipelines regex-redact
+    emails/phones/IPs before training).  Adds per-row match counts
+    (n_email / n_phone / n_ipv4) and `scrubbed`, the text with each
+    match replaced by its placeholder, in the fixed PII_PATTERNS
+    order.  Pure per-row regex — map-side only, no shuffle, sits in
+    whole-stage codegen; counts are taken BEFORE any replacement so a
+    later pattern never counts a placeholder fragment."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _repl in PII_PATTERNS
+    ]
+    scrubbed = F.col(text_col)
+    for _name, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select("*", *counts, scrubbed.alias("scrubbed"))

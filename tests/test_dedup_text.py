@@ -584,3 +584,29 @@ def test_prepare_corpus_materialize_survivors_equal(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_scrub_pii_counts_and_redaction(spark):
+    """Planted email/phone/IP are counted on the ORIGINAL text and
+    replaced in fixed pattern order; PII-free text passes through
+    untouched with zero counts."""
+    rows = [
+        (1, "write bob.smith+x@sub.example.org today"),
+        (2, "call 555-867-5309 or 555 123 4567 now"),
+        (3, "host 10.0.3.77 and 192.168.1.1"),
+        (4, "mix a@b.co then 555.867.5309 at 8.8.8.8"),
+        (5, "no pii here at all"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in text.scrub_pii(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (1, 0, 0)
+    assert out[1]["scrubbed"] == "write <EMAIL> today"
+    assert (out[2]["n_email"], out[2]["n_phone"]) == (0, 2)
+    assert out[2]["scrubbed"] == "call <PHONE> or <PHONE> now"
+    assert out[3]["n_ipv4"] == 2 and out[3]["scrubbed"] == "host <IP> and <IP>"
+    assert (out[4]["n_email"], out[4]["n_phone"], out[4]["n_ipv4"]) == (1, 1, 1)
+    assert out[4]["scrubbed"] == "mix <EMAIL> then <PHONE> at <IP>"
+    assert out[5]["scrubbed"] == "no pii here at all"
+    assert (out[5]["n_email"], out[5]["n_phone"], out[5]["n_ipv4"]) == (0, 0, 0)
+    assert out[6]["scrubbed"] == ""
