@@ -47,16 +47,24 @@ def bucket_of(entity_col: str, n_buckets: int):
     return (F.crc32(key) % n_buckets).cast("int")
 
 
+# Bucket-layout version: bump whenever bucket_of's key->bucket mapping
+# changes (v2: NULL keys map to a sentinel bucket instead of a NULL
+# bucket).  Baked into every fingerprint so manifests written under an
+# older mapping can never be resumed as "ok" — a resumed job would
+# otherwise silently skip buckets whose membership moved.
+_LAYOUT_VERSION = 2
+
+
 def input_fingerprint(df: DataFrame, entity: str, ts: str, n_buckets: int = 0) -> str:
     """Cheap order-insensitive fingerprint of the input: row count +
     xor-ish sum of row hashes, PLUS the bucket layout — changing
-    n_buckets must invalidate old manifests (a bucket id means nothing
-    across layouts)."""
+    n_buckets or the bucket mapping itself must invalidate old
+    manifests (a bucket id means nothing across layouts)."""
     agg = df.select(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.crc32(F.concat_ws("|", F.col(entity), F.col(ts).cast("string")))).alias("h"),
     ).first()
-    return f"n={agg['n']},h={agg['h']},b={n_buckets}"
+    return f"n={agg['n']},h={agg['h']},b={n_buckets},v={_LAYOUT_VERSION}"
 
 
 def _manifest_dir(output_path: str) -> Path:

@@ -22,8 +22,21 @@ broadcast-gradient pattern; no per-row Python anywhere.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+_Q6 = Decimal("0.000001")
+
+
+def _round6(x: float) -> float:
+    """Half-AWAY-from-zero rounding to 6 dp of the exact binary value —
+    the semantics of Spark F.round and DuckDB round().  Python's
+    built-in round() is half-EVEN and disagrees on dyadic ties (e.g.
+    15.625/2000 = 0.0078125 exactly: round() -> 0.007812, SQL ->
+    0.007813), which would silently break the bit-exact contract."""
+    return float(Decimal(x).quantize(_Q6, rounding=ROUND_HALF_UP))
 
 
 def _sigmoid6(z):
@@ -60,8 +73,8 @@ def logreg_fit(
         row = df.agg(*aggs).first()
         n = row["_n"]
         for c in feature_cols:
-            w[c] = round(w[c] + lr * round(float(row[c]) / n, 6), 6)
-        b = round(b + lr * round(float(row["_b"]) / n, 6), 6)
+            w[c] = _round6(w[c] + lr * _round6(float(row[c]) / n))
+        b = _round6(b + lr * _round6(float(row["_b"]) / n))
     return w, b
 
 

@@ -108,27 +108,27 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "range_anchored_windows",
     "sampled_time_windows",
     "range_feature_windows",
-    # code paths changed this round — re-gate (9)
+    # code paths changed this round — re-gate (7): the asof front door
+    # and union/chunked kernels (auto dispatch rework), featurize
+    # (asof_strategy threading), and the two text queries whose
+    # operators were restructured for performance
+    # (with_repetition_stats single-reference rewrite,
+    # ngram_decontaminate semi-join-before-distinct)
     "asof_join_auto",
     "asof_join_chunked",
     "asof_join_union",
     "asof_join_cogroup",
     "flagship_featurize",
-    "sessionize",
-    "stable_hash_ids",
+    "doc_repetition",
+    "decontaminate_13gram",
 )
-# rotated out for round 5 (all r4 driver-green, keep local parity
-# coverage): the r4 debut set (phash_dedup_clusters,
-# temporal_split_embargo, aspect_bucket_batches, doc_repetition,
-# decontaminate_13gram), the r2-refresh metrics/ANN/text family, and
-# the remaining flagship queries — they follow in registration order
-# (bloom_semi_join, temporal_split_embargo, aspect_bucket_batches,
-# doc_repetition, decontaminate_13gram) so debuts land driver-green in
-# the round that introduces them; all five displaced queries are
-# r3-green plans whose code did not change.  `containment_dups`
-# (registered mid-r4, after the window filled) runs on local parity +
-# planted pytest this round — deliberate: the window holds exactly 50
-# and every slot is spoken for; rotate it in for r5.
+# rotated out for round 5 (all r4 driver-green, unchanged code, local
+# parity coverage retained): the remaining r4 debut set
+# (phash_dedup_clusters, temporal_split_embargo, aspect_bucket_batches,
+# bloom_semi_join, stable_hash_ids), the r2-refresh metrics/ANN/text
+# family, and the unchanged flagship queries (sessionize, sliding_
+# windows, consolidate_runs, lag_lead, tumbling_daily, ...) — they
+# follow in registration order.
 
 
 def _ordered(mapping: dict) -> dict:

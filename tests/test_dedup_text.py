@@ -610,3 +610,15 @@ def test_scrub_pii_counts_and_redaction(spark):
     assert out[5]["scrubbed"] == "no pii here at all"
     assert (out[5]["n_email"], out[5]["n_phone"], out[5]["n_ipv4"]) == (0, 0, 0)
     assert out[6]["scrubbed"] == ""
+
+
+def test_logreg_round6_half_away_ties():
+    """Driver-side weight rounding must match SQL round() (half away
+    from zero), not Python round() (half even), on dyadic ties —
+    0.0078125 is exactly representable and the two disagree there."""
+    from gfwspark.classify import _round6
+
+    assert _round6(0.0078125) == 0.007813          # round() gives 0.007812
+    assert _round6(-0.0078125) == -0.007813
+    assert _round6(0.0000005) == 0.000001
+    assert _round6(1.25) == 1.25
