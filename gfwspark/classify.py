@@ -31,12 +31,15 @@ _Q6 = Decimal("0.000001")
 
 
 def _round6(x: float) -> float:
-    """Half-AWAY-from-zero rounding to 6 dp of the exact binary value —
-    the semantics of Spark F.round and DuckDB round().  Python's
-    built-in round() is half-EVEN and disagrees on dyadic ties (e.g.
-    15.625/2000 = 0.0078125 exactly: round() -> 0.007812, SQL ->
-    0.007813), which would silently break the bit-exact contract."""
-    return float(Decimal(x).quantize(_Q6, rounding=ROUND_HALF_UP))
+    """Round to 6 dp exactly the way Spark F.round and DuckDB round()
+    do: half-AWAY-from-zero on the SHORTEST-DECIMAL representation of
+    the double (Java BigDecimal.valueOf goes through Double.toString;
+    DuckDB behaves identically — round(5e-7, 6) is 1e-6 even though
+    the double is 4.9999...e-7 in exact binary).  Python's round() is
+    half-even and disagrees on dyadic ties (0.0078125 -> 0.007812 vs
+    SQL 0.007813); Decimal(x) (exact expansion) disagrees just below
+    repr-ties — Decimal(repr(x)) matches both engines."""
+    return float(Decimal(repr(x)).quantize(_Q6, rounding=ROUND_HALF_UP))
 
 
 def _sigmoid6(z):
