@@ -124,3 +124,69 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def zorder_bucket(col, boundaries: list[float]):
+    """Bucket index of `col` against sorted quantile `boundaries`
+    (len = 2^bits - 1): count of boundaries <= value, as a pure
+    expression — a searchsorted over a small literal array, evaluated
+    map-side (the boundaries come from one driver-side exact-quantile
+    pass, the same sampling shape Delta's OPTIMIZE ZORDER uses for its
+    range ids).  NULLs land in bucket 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.array(*[F.lit(float(b)) for b in boundaries]),
+        F.lit(0),
+        lambda acc, b: acc + F.when(c >= b, 1).otherwise(0),
+    )
+
+
+def zorder_key(bucket_cols: list, bits: int = 8):
+    """Bit-interleave per-column bucket ids (already in [0, 2^bits))
+    into one Z-order (Morton) key: bit j of column i lands at position
+    j * n_cols + i.  Locality property: rows close in the key are close
+    in EVERY bucketed dimension, so sorting files by the key gives each
+    file a narrow min/max envelope in all dimensions at once — parquet
+    row-group / Iceberg file skipping then prunes on ANY of them, not
+    just the leading sort column."""
+    n = len(bucket_cols)
+    key = F.lit(0).cast("long")
+    for i, bc in enumerate(bucket_cols):
+        for j in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(bc.cast("long"), j) % 2, j * n + i
+            ).cast("long")
+    return key
+
+
+def zorder_table(
+    spark,
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int | None = None,
+) -> dict:
+    """Rewrite `df` to `path` clustered by the Z-order of `cols` — the
+    OPTIMIZE ZORDER analog: one exact-quantile pass per column on the
+    driver (approxQuantile(rel=0)), map-side bucket + interleave, then
+    repartitionByRange(zkey) + sortWithinPartitions(zkey) so every
+    output file owns a contiguous key range (narrow min/max envelope in
+    every dimension).  Returns the per-column boundaries for the
+    caller's lineage record."""
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = {
+        c: df.stat.approxQuantile(c, probs, 0.0) for c in cols
+    }
+    buckets = [zorder_bucket(c, bounds[c]) for c in cols]
+    keyed = df.withColumn("_zkey", zorder_key(buckets, bits))
+    n_files = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return {"boundaries": bounds, "n_files": n_files}

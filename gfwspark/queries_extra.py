@@ -903,3 +903,81 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.greatest(F.col("value"), lo), hi).alias("value_w"),
         ((F.col("value") < lo) | (F.col("value") > hi)).alias("clipped"),
     )
+
+
+# ---------------------------------------------------------------------
+# Z-order (Morton) clustering key — the OPTIMIZE ZORDER analog
+# (layout.zorder_table rewrites files by it; the pytest pins the
+# narrow-envelope property).  This query oracles the MATH: per-column
+# quantile bucketing (exact interpolated percentiles, round-6 — the
+# shared Spark percentile()/DuckDB quantile_cont() convention) and the
+# bit interleave, over (user_id, value) with 8 buckets per dimension.
+# ---------------------------------------------------------------------
+
+_Z_BITS = 3
+_Z_PROBS = [k / (1 << _Z_BITS) for k in range(1, 1 << _Z_BITS)]
+
+
+def _z_oracle() -> str:
+    bcols = []
+    for i, c in enumerate(["user_id", "value"]):
+        qs = ", ".join(
+            f"round(quantile_cont({c}, {p}), 6) AS b_{i}_{k}"
+            for k, p in enumerate(_Z_PROBS)
+        )
+        bcols.append(qs)
+    bucket = []
+    for i in range(2):
+        terms = " + ".join(
+            f"(CASE WHEN e.c_{i} >= b.b_{i}_{k} THEN 1 ELSE 0 END)"
+            for k in range(len(_Z_PROBS))
+        )
+        bucket.append(f"({terms}) AS bk_{i}")
+    inter = " + ".join(
+        f"(((bk_{i} >> {j}) & 1) << {j * 2 + i})"
+        for i in range(2)
+        for j in range(_Z_BITS)
+    )
+    return f"""
+WITH b AS (SELECT {bcols[0]}, {bcols[1]} FROM events),
+e AS (SELECT event_id, cast(user_id AS double) AS c_0, value AS c_1 FROM events),
+k AS (
+  SELECT e.event_id, {bucket[0]}, {bucket[1]}
+  FROM e CROSS JOIN b
+)
+SELECT event_id, cast(bk_0 AS int) AS bucket_user,
+  cast(bk_1 AS int) AS bucket_value,
+  cast({inter} AS bigint) AS zkey
+FROM k
+"""
+
+
+@register("zorder_key", _z_oracle())
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfwspark import layout
+
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("double").alias("c_0"),
+        F.col("value").alias("c_1"),
+    )
+    bounds = ev.agg(
+        *[
+            F.round(F.percentile(f"c_{i}", F.lit(p)), 6).alias(f"b_{i}_{k}")
+            for i in range(2)
+            for k, p in enumerate(_Z_PROBS)
+        ]
+    ).first()
+    bs = [
+        [float(bounds[f"b_{i}_{k}"]) for k in range(len(_Z_PROBS))]
+        for i in range(2)
+    ]
+    buckets = [layout.zorder_bucket(f"c_{i}", bs[i]) for i in range(2)]
+    out = ev.select(
+        "event_id",
+        buckets[0].cast("int").alias("bucket_user"),
+        buckets[1].cast("int").alias("bucket_value"),
+    )
+    zk = layout.zorder_key(
+        [F.col("bucket_user"), F.col("bucket_value")], bits=_Z_BITS
+    )
+    return out.withColumn("zkey", zk.cast("long"))
