@@ -177,3 +177,42 @@ def test_zorder_key_interleave_locality():
             ((r["y"] >> j) & 1) << (2 * j + 1) for j in range(3)
         )
         assert r["z"] == want, (r["x"], r["y"], r["z"], want)
+
+
+def test_bucketed_asof_zero_shuffle(spark, tmp_path):
+    """The at-rest answer to the as-of shuffle: with BOTH sides written
+    bucketed by entity (layout.write_bucketed), the cogroup as-of
+    satisfies its clustering requirement straight from the scan —
+    ZERO Exchange in the plan (the union form cannot: Union discards
+    children's partitioning, so it re-shuffles even over bucketed
+    reads).  Results equal the union form exactly."""
+    import pyspark.sql.functions as F
+
+    from gfwspark import asof, layout, tables
+
+    spark.sql("DROP TABLE IF EXISTS zb_facts")
+    spark.sql("DROP TABLE IF EXISTS zb_ann")
+    img = tables.image_caption_from_events(spark, "/root/testdata/sf0.001").select(
+        "image_id", "ts", "event_id"
+    )
+    ann = (
+        tables.synthesize_annotations(spark, n_entities=20, seed=1)
+        .groupBy("image_id", "start_ts")
+        .agg(F.max("value").alias("label"))
+    )
+    layout.write_bucketed(img, "zb_facts", ["image_id"], 4, sort_cols=["image_id", "ts"])
+    layout.write_bucketed(ann, "zb_ann", ["image_id"], 4, sort_cols=["image_id", "start_ts"])
+    f, a = spark.table("zb_facts"), spark.table("zb_ann")
+
+    out = asof.asof_join_cogroup(f, a, value_cols=("label",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+
+    import pandas as pd
+
+    want = (
+        asof.asof_join_union(f, a, value_cols=("label",))
+        .toPandas().sort_values(["image_id", "ts", "event_id"]).reset_index(drop=True)
+    )
+    got = out.toPandas().sort_values(["image_id", "ts", "event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(want, got[want.columns], check_dtype=False)
