@@ -190,3 +190,34 @@ def zorder_table(
         .parquet(path)
     )
     return {"boundaries": bounds, "n_files": n_files}
+
+
+def collect_entity_stats(
+    df: DataFrame, entity: str = "image_id", ts: str = "ts"
+) -> DataFrame:
+    """One profile pass over a table: (entity, n_rows, lo_us, hi_us) —
+    the frame asof_join(strategy='auto', entity_stats=...) consumes to
+    skip its skew pre-scan, detect_skew's superset, and the per-entity
+    slice of what an ANALYZE TABLE would store.  Map-side combined
+    (one shuffle of tiny partials); persist with write_entity_stats so
+    every downstream job pays the pass once per table version."""
+    from gfwspark.util import epoch_us
+
+    return df.groupBy(entity).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(epoch_us(ts)).alias("lo_us"),
+        F.max(epoch_us(ts)).alias("hi_us"),
+    )
+
+
+def write_entity_stats(stats: DataFrame, table_path: str) -> str:
+    """Persist a profile next to its table (<path>/_entity_stats) —
+    the lineage convention checkpoint manifests use.  Overwrites: a
+    profile is only valid for the table version it was computed on."""
+    out = table_path.rstrip("/") + "/_entity_stats"
+    stats.write.mode("overwrite").parquet(out)
+    return out
+
+
+def read_entity_stats(spark, table_path: str) -> DataFrame:
+    return spark.read.parquet(table_path.rstrip("/") + "/_entity_stats")

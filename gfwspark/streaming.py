@@ -269,3 +269,40 @@ def stream_asof_label(
         ann_ts=ann_ts,
         value_col=value_col,
     )
+
+
+def stream_upsert_sink(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    entity: str = "image_id",
+    n_buckets: int = 16,
+    checkpoint_dir: str | None = None,
+):
+    """Continuous MERGE ingestion: every micro-batch upserts into the
+    bucket-partitioned parquet table via sources.upsert_partitioned —
+    the streaming CDC sink (Iceberg MERGE-per-commit shape).  Each
+    batch rewrites only the bucket directories its keys touch, so
+    steady-state ingestion cost tracks batch size, not table size.
+
+    foreachBatch is the documented idempotency point: availableNow
+    replay after a crash re-runs the last uncommitted batch, and the
+    upsert's key-match semantics make the replay a no-op (same keys,
+    same values) — exactly-once TABLE STATE from at-least-once batch
+    delivery.  Stats collection is off (no deleted-count scan per
+    batch); single-writer contract as for the batch sink.
+
+    Returns the started StreamingQuery; caller owns awaitTermination.
+    """
+    from gfwspark import sources
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        sources.upsert_partitioned(
+            batch_df.sparkSession, batch_df, path, keys=keys,
+            entity=entity, n_buckets=n_buckets, collect_stats=False,
+        )
+
+    w = stream.writeStream.foreachBatch(_sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

@@ -216,3 +216,41 @@ def test_bucketed_asof_zero_shuffle(spark, tmp_path):
     )
     got = out.toPandas().sort_values(["image_id", "ts", "event_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(want, got[want.columns], check_dtype=False)
+
+
+def test_entity_stats_roundtrip_feeds_asof_auto(spark, tmp_path):
+    """Profile-once flow: collect_entity_stats -> write beside the
+    table -> read back -> asof auto consumes it (no pre-scan) and
+    matches the union form."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from gfwspark import asof, layout, tables
+
+    img = tables.image_caption_from_events(spark, "/root/testdata/sf0.001").select(
+        "image_id", "ts", "event_id"
+    )
+    ann = (
+        tables.synthesize_annotations(spark, n_entities=20, seed=1)
+        .groupBy("image_id", "start_ts")
+        .agg(F.max("value").alias("label"))
+    )
+    stats = layout.collect_entity_stats(img)
+    p = str(tmp_path / "tbl")
+    img.write.parquet(p)
+    sp = layout.write_entity_stats(stats, p)
+    assert sp.endswith("/_entity_stats")
+    back = layout.read_entity_stats(spark, p)
+
+    want = (
+        asof.asof_join_union(img, ann, value_cols=("label",))
+        .toPandas().sort_values(["image_id", "ts", "event_id"]).reset_index(drop=True)
+    )
+    got = (
+        asof.asof_join(
+            img, ann, value_cols=("label",), strategy="auto",
+            hot_threshold_rows=10, entity_stats=back,
+        )
+        .toPandas().sort_values(["image_id", "ts", "event_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(want, got, check_dtype=False)

@@ -299,3 +299,60 @@ def test_stream_sessionize_drops_late_rows(spark, late_fixture):
     assert "10:30" not in starts
     assert starts == {"10:00"}
     assert got["n_points"].tolist() == [3]
+
+
+def test_stream_upsert_sink_merges_batches(spark, tmp_path):
+    """Two file micro-batches flow through the foreachBatch MERGE sink:
+    batch 2 updates a batch-1 key and inserts a new one; the final
+    table is the merged state (no duplicate keys), like the batch
+    upsert applied sequentially."""
+    import time
+
+    from gfwspark import streaming
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    b1 = spark.createDataFrame(
+        [("e1", 1, "v1"), ("e2", 2, "v2"), ("e3", 3, "v3")],
+        "image_id string, seq int, val string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    b2 = spark.createDataFrame(
+        [("e2", 2, "UPDATED"), ("e9", 9, "NEW")],
+        "image_id string, seq int, val string",
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("image_id string, seq int, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming.stream_upsert_sink(
+        stream, tbl, keys=["image_id", "seq"], checkpoint_dir=ck
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(tbl).drop("_bucket").toPandas()
+        .sort_values(["image_id", "seq"]).reset_index(drop=True)
+    )
+    assert list(got["image_id"]) == ["e1", "e2", "e3", "e9"]
+    assert got.set_index("image_id").loc["e2", "val"] == "UPDATED"
+    assert got.set_index("image_id").loc["e9", "val"] == "NEW"
+
+    # availableNow replay with the same checkpoint: no new source data,
+    # table state unchanged (idempotent restart)
+    q2 = streaming.stream_upsert_sink(
+        spark.readStream.schema("image_id string, seq int, val string")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        tbl, keys=["image_id", "seq"], checkpoint_dir=ck,
+    )
+    q2.awaitTermination(120)
+    again = (
+        spark.read.parquet(tbl).drop("_bucket").toPandas()
+        .sort_values(["image_id", "seq"]).reset_index(drop=True)
+    )
+    assert got.equals(again)
