@@ -190,8 +190,15 @@ def test_bucketed_asof_zero_shuffle(spark, tmp_path):
 
     from gfwspark import asof, layout, tables
 
-    spark.sql("DROP TABLE IF EXISTS zb_facts")
-    spark.sql("DROP TABLE IF EXISTS zb_ann")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("zb_facts", "zb_ann"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a stale location from a crashed/previous session survives the
+        # catalog drop and blocks saveAsTable (LOCATION_ALREADY_EXISTS)
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     img = tables.image_caption_from_events(spark, "/root/testdata/sf0.001").select(
         "image_id", "ts", "event_id"
     )
