@@ -53,6 +53,7 @@ HEADLINE = [
     "sampled_time_windows",
     # added round 5: the composed corpus-prep flagship
     "llm_corpus_prep",
+    "ann_brute_topk_arrow",
 ]
 
 

@@ -504,3 +504,86 @@ def ivf_read_lists(spark, path: str, cids: list[int]) -> DataFrame:
     the partition-directory level (verify with .explain: PartitionFilters
     carries cid, and PartitionCount == len(cids))."""
     return spark.read.parquet(path).filter(F.col("cid").isin(cids))
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via an Arrow/BLAS kernel — the vectorized twin of
+    brute_force_topk for when Python IS the fast path: the JVM form
+    evaluates the cosine as a per-(query, row) aggregate() fold
+    (scalar expression per dimension), while here each corpus
+    partition does ONE float64 matmul against the broadcast query
+    matrix (mapInPandas, BLAS) and emits only its local top-k per
+    query; the global top-k then ranks |partitions| x k x |queries|
+    rows — never the full score matrix.
+
+    Same semantics and tie-break (cosine desc, corpus id asc).  Scores
+    are round(·, 6) like the JVM kernel, but BLAS accumulates in a
+    different order than the sequential fold, so a score sitting
+    within float ulp of a 6-dp boundary can round differently — this
+    kernel is therefore benched and tested against the JVM form
+    (exact-match in practice at these dims) but the REGISTERED oracle
+    query stays on the fold kernel, whose summation order the SQL
+    oracle replays exactly."""
+    import pandas as _pd
+
+    spark = corpus.sparkSession
+    qrows = queries.select(q_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, D)
+    qn = np.linalg.norm(qm, axis=1)
+    bq = spark.sparkContext.broadcast((q_ids, qm, qn))
+
+    out_schema = f"{q_id_col} long, {id_col} long, cosine double"
+
+    def _part(batches):
+        q_ids_b, qm_b, qn_b = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cn = np.linalg.norm(X, axis=1)
+            S = (X @ qm_b.T) / (cn[:, None] * qn_b[None, :])  # (N, Q)
+            S = np.round(S, 6)
+            res = []
+            for qi in range(len(q_ids_b)):
+                col = S[:, qi]
+                mask = ids != q_ids_b[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if not len(cand_idx):
+                    continue
+                # local top-k: kth-value threshold keeps ALL ties at the
+                # boundary (argpartition alone could drop a tied row the
+                # id tie-break should have kept), then exact sort
+                sel = cand_idx
+                if len(cand_idx) > k:
+                    vals = col[cand_idx]
+                    kth = -np.partition(-vals, k - 1)[k - 1]
+                    sel = cand_idx[vals >= kth]
+                order = sorted(sel, key=lambda i: (-col[i], ids[i]))[:k]
+                res.append(
+                    _pd.DataFrame(
+                        {
+                            q_id_col: q_ids_b[qi],
+                            id_col: ids[order],
+                            "cosine": col[order],
+                        }
+                    )
+                )
+            if res:
+                yield _pd.concat(res, ignore_index=True)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(_part, out_schema)
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )

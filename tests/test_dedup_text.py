@@ -622,3 +622,32 @@ def test_logreg_round6_half_away_ties():
     assert _round6(-0.0078125) == -0.007813
     assert _round6(0.0000005) == 0.000001
     assert _round6(1.25) == 1.25
+
+
+def test_brute_force_arrow_equals_jvm(spark):
+    """The BLAS kernel must reproduce the JVM fold kernel EXACTLY
+    (same round-6 scores, same id tie-breaks) — including a planted
+    exact tie (scaled copy, cosine 1.0) where ordering is id-only."""
+    import pandas as pd
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(200, 16).astype("float32")
+    vecs[50] = vecs[3] * 2.0
+    vecs[51] = vecs[3] * 0.5
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    a = (
+        similarity.brute_force_topk(corpus, q, k=5)
+        .toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        similarity.brute_force_topk_arrow(corpus, q, k=5)
+        .toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+    # the planted ties both appear for query 3, id-ordered
+    q3 = a[a.q_id == 3]
+    assert list(q3.vec_id[:2]) == [50, 51] and list(q3.cosine[:2]) == [1.0, 1.0]
