@@ -22,12 +22,10 @@ broadcast-gradient pattern; no per-row Python anywhere.
 
 from __future__ import annotations
 
-from decimal import ROUND_HALF_UP, Decimal
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-_Q6 = Decimal("0.000001")
+from gfwspark.util import round_half_up
 
 
 def _round6(x: float) -> float:
@@ -38,8 +36,8 @@ def _round6(x: float) -> float:
     the double is 4.9999...e-7 in exact binary).  Python's round() is
     half-even and disagrees on dyadic ties (0.0078125 -> 0.007812 vs
     SQL 0.007813); Decimal(x) (exact expansion) disagrees just below
-    repr-ties — Decimal(repr(x)) matches both engines."""
-    return float(Decimal(repr(x)).quantize(_Q6, rounding=ROUND_HALF_UP))
+    repr-ties — Decimal(repr(x)) matches both engines (util.round_half_up)."""
+    return round_half_up(x, 6)
 
 
 def _sigmoid6(z):

@@ -1634,3 +1634,64 @@ def q_brute_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return similarity.brute_force_topk_arrow(emb, q, k=5)
+
+
+# ---------------------------------------------------------------------
+# int8 affine quantization for vector search (similarity.quantization_
+# params / quantize_embeddings / dequantize_col): per-dim (min, scale)
+# from one posexplode pass, q = clamp(round((v-mn)/sc), 0, 255) stored
+# 4x smaller; ANN runs on the dequantized reconstruction.  The oracle
+# recomputes params, quantization, reconstruction, and the top-k
+# end-to-end in SQL.
+# ---------------------------------------------------------------------
+
+_Q8_DQ = (
+    "list_transform(generate_series(1, len({e})), "
+    "i -> p.mns[i] + least(255.0, greatest(0.0, "
+    "round(({e}[i]::DOUBLE - p.mns[i]) / p.scs[i]))) * p.scs[i])"
+)
+
+_INT8_TOPK_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+pp AS (
+  SELECT i, round(min(v), 6) AS mn,
+    greatest(round((round(max(v), 6) - round(min(v), 6)) / 255.0, 6), 0.000001)
+      AS sc
+  FROM ex GROUP BY i
+),
+p AS (SELECT list(mn ORDER BY i) AS mns, list(sc ORDER BY i) AS scs FROM pp),
+dq AS (
+  SELECT vec_id, {_Q8_DQ.format(e='embedding')} AS dv
+  FROM embeddings CROSS JOIN p
+),
+q AS (SELECT vec_id AS q_id, dv AS q_dv FROM dq WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+    round({_d_dot('c.dv', 'q.q_dv')}
+          / ({_d_norm('c.dv')} * {_d_norm('q.q_dv')}), 6) AS cosine
+  FROM dq c CROSS JOIN q
+  WHERE c.vec_id <> q.q_id
+),
+r AS (
+  SELECT q_id, vec_id, cosine,
+    cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS int) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("ann_int8_topk", _INT8_TOPK_ORACLE)
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    mins, scales = similarity.quantization_params(emb, dim=_EMB_DIM)
+    qz = similarity.quantize_embeddings(emb, mins, scales).select(
+        "vec_id", similarity.dequantize_col(mins, scales).alias("embedding")
+    )
+    q = qz.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.brute_force_topk(qz, q, k=5)

@@ -24,3 +24,15 @@ def epoch_us(col: str | Column) -> Column:
     truncates (off-by-one at sub-second boundaries)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
+
+
+def round_half_up(x: float, nd: int = 6) -> float:
+    """Driver-side rounding that matches Spark F.round and DuckDB
+    round(): half-AWAY-from-zero on the double's SHORTEST-DECIMAL
+    representation (see classify._round6 docstring for the two ways
+    naive python disagrees).  Use for any driver-computed constant
+    that an oracle recomputes in SQL."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))

@@ -651,3 +651,36 @@ def test_brute_force_arrow_equals_jvm(spark):
     # the planted ties both appear for query 3, id-ordered
     q3 = a[a.q_id == 3]
     assert list(q3.vec_id[:2]) == [50, 51] and list(q3.cosine[:2]) == [1.0, 1.0]
+
+
+def test_int8_quantization_reconstruction_and_recall(spark):
+    """Affine int8: reconstruction error per component is <= scale/2
+    (+ the round-6 param slack), q stays in [0, 255] smallint, and
+    top-5 over dequantized vectors keeps high recall vs exact top-5
+    on the real embeddings table."""
+    from gfwspark import tables
+
+    emb = tables.load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    mins, scales = similarity.quantization_params(emb, dim=64)
+    qz = similarity.quantize_embeddings(emb, mins, scales)
+    row = qz.select("embedding", "q_embedding").first()
+    assert all(0 <= q <= 255 for q in row["q_embedding"])
+    for i, (v, q) in enumerate(zip(row["embedding"], row["q_embedding"])):
+        rec = mins[i] + q * scales[i]
+        assert abs(float(v) - rec) <= scales[i] / 2 + 2e-6, (i, v, rec)
+
+    dq = qz.select("vec_id", similarity.dequantize_col(mins, scales).alias("embedding"))
+    qexact = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    qdq = dq.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, qexact, k=5).toPandas()
+    approx = similarity.brute_force_topk(dq, qdq, k=5).toPandas()
+    hits = 0
+    for qid in range(10):
+        a = set(exact[exact.q_id == qid].vec_id)
+        b = set(approx[approx.q_id == qid].vec_id)
+        hits += len(a & b)
+    assert hits / 50 >= 0.8, hits  # 8-bit reconstruction keeps top-k
