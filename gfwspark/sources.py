@@ -311,6 +311,7 @@ def upsert_partitioned(
     entity: str = "image_id",
     n_buckets: int = 16,
     collect_stats: bool = True,
+    allow_schema_evolution: bool = False,
 ) -> dict:
     """MERGE-style upsert into a bucket-partitioned parquet table —
     the parquet stand-in for Iceberg MERGE INTO (same trick Iceberg's
@@ -349,7 +350,21 @@ def upsert_partitioned(
         from functools import reduce
         from operator import and_
 
-        existing = spark.read.parquet(path).filter(F.col("_bucket").isin(touched))
+        existing = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(path)
+            .filter(F.col("_bucket").isin(touched))
+        )
+        new_cols = set(b.columns) - set(existing.columns)
+        lost_cols = set(existing.columns) - set(b.columns) - {"_bucket"}
+        if (new_cols or lost_cols) and not allow_schema_evolution:
+            raise ValueError(
+                "upsert batch schema differs from the table "
+                f"(added={sorted(new_cols)}, missing={sorted(lost_cols)}); "
+                "pass allow_schema_evolution=True to union-by-name with "
+                "null padding (Iceberg-style additive evolution), and read "
+                "the table with mergeSchema afterwards"
+            )
         bk = b.select(*keys).distinct()
         # eqNullSafe: MERGE key matching must treat NULL = NULL as a
         # match, or null-keyed rows duplicate on every re-upsert
@@ -361,7 +376,7 @@ def upsert_partitioned(
             deleted = existing.join(bk, cond, "left_semi").count()
         else:
             deleted = None
-        out = keep.unionByName(b)
+        out = keep.unionByName(b, allowMissingColumns=allow_schema_evolution)
     else:
         out = b
     out = out.localCheckpoint(eager=True)

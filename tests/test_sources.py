@@ -350,3 +350,41 @@ def test_compact_table_crash_recovery(spark, tmp_path):
     r2 = sources.compact_table(spark, path, target_mb=128)
     got2 = spark.read.parquet(path).toPandas().sort_values("seq").reset_index(drop=True)
     assert want.equals(got2)
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    """A batch adding a column is rejected by default (explicit
+    evolution, the Iceberg contract) and accepted with
+    allow_schema_evolution=True: old rows get NULL for the new column,
+    merge semantics otherwise unchanged; the evolved table reads back
+    with mergeSchema."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "evo")
+    base = spark.createDataFrame(
+        [("e1", 1, "v1"), ("e2", 2, "v2")], "image_id string, seq int, val string"
+    )
+    sources.upsert_partitioned(spark, base, path, keys=["image_id", "seq"])
+
+    batch = spark.createDataFrame(
+        [("e2", 2, "UPDATED", 0.9), ("e3", 3, "NEW", 0.5)],
+        "image_id string, seq int, val string, score double",
+    )
+    with _pytest.raises(ValueError, match="schema"):
+        sources.upsert_partitioned(spark, batch, path, keys=["image_id", "seq"])
+
+    r = sources.upsert_partitioned(
+        spark, batch, path, keys=["image_id", "seq"], allow_schema_evolution=True
+    )
+    assert r["upserted"] == 2
+    got = (
+        spark.read.option("mergeSchema", "true").parquet(path)
+        .drop("_bucket").toPandas().sort_values(["image_id", "seq"])
+        .set_index("image_id")
+    )
+    assert len(got) == 3
+    assert got.loc["e2", "val"] == "UPDATED" and got.loc["e2", "score"] == 0.9
+    assert got.loc["e3", "score"] == 0.5
+    import pandas as pd
+
+    assert pd.isna(got.loc["e1", "score"])
