@@ -61,3 +61,50 @@ def test_spark_submit_py_files_job(spark, tmp_path):
     result = checkpoint.read_result(spark, out_path)
     assert result.count() == snap[-1]["total_rows"]
     assert "asof_label" in result.columns
+
+
+def test_spark_submit_corpus_prep_job(spark, tmp_path):
+    """The corpus-prep pipeline launches via spark-submit --py-files in
+    a fresh JVM and writes a split-partitioned packed manifest plus a
+    JSON audit summary."""
+    docs_path = str(tmp_path / "docs.parquet")
+    bench_path = str(tmp_path / "bench.parquet")
+    out_path = str(tmp_path / "corpus")
+
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(
+        docs_path
+    )
+    import pyspark.sql.functions as F
+
+    from gfwspark import text
+
+    spark.read.parquet(docs_path).filter(F.col("doc_id") % 50 == 0).select(
+        F.concat_ws(" ", F.slice(text.tokens_col("text"), 11, 30)).alias("text")
+    ).write.parquet(bench_path)
+
+    zip_path = tmp_path / "engine.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for p in (REPO / "gfwspark").rglob("*.py"):
+            zf.write(p, p.relative_to(REPO))
+
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--py-files", str(zip_path),
+            "--conf", "spark.sql.session.timeZone=UTC",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.memory=4g",
+            str(REPO / "jobs" / "corpus_prep_job.py"),
+            "--input", docs_path, "--benchmark", bench_path,
+            "--output", out_path,
+        ],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["docs_out"] > 0
+    assert set(summary["splits"]) == {"train", "val"}
+    assert summary["docs_out"] < summary["docs_in"]  # gates dropped rows
+
+    back = spark.read.parquet(out_path)
+    assert back.filter(F.col("split") == "train").count() == summary["splits"]["train"]
