@@ -102,14 +102,26 @@ def asof_join_cogroup(
     ann_ts: str = "start_ts",
     value_cols: tuple[str, ...] = ("label",),
     tolerance: pd.Timedelta | None = None,
+    coarse_buckets: int | None = -1,
 ) -> DataFrame:
     """Backward as-of via cogroup + pd.merge_asof (Arrow sort-merge).
 
-    Both sides shuffle once on the entity key; each cogroup arrives as
-    pandas frames, is sorted (cheap — layout.partition_sorted already
-    clustered it), and merge_asof runs the linear backward scan.  This
-    is the direct Spark analog of the reference's per-vessel
+    Both sides shuffle once on the grouping key; each cogroup arrives
+    as pandas frames and merge_asof runs the linear backward scan.
+    This is the direct Spark analog of the reference's per-vessel
     searchsorted kernel.
+
+    ``coarse_buckets`` — per-ENTITY cogroups pay the Arrow + Python
+    call overhead once per entity (~3 ms), which dominates when
+    entities are small (1500 entities x 67 rows: 4.8 s vs 0.3 s for
+    the union form).  The default cogroups on crc32(entity) %
+    (4 x defaultParallelism) buckets instead and lets ONE
+    merge_asof(by=entity) handle every entity in the bucket —
+    identical semantics (pandas `by` matching = per-entity backward
+    scan), overhead amortized across the bucket, skew no worse (a hot
+    entity still occupies one bucket, exactly as it occupied one
+    cogroup).  -1 = auto (4 x defaultParallelism); None/0 = one
+    cogroup per entity (the pre-bucketing behavior).
     """
     import pyspark.sql.types as T
 
@@ -118,6 +130,9 @@ def asof_join_cogroup(
     ]
     out_schema = T.StructType(out_fields)
     fact_names = [f.name for f in facts.schema.fields]
+
+    if coarse_buckets == -1:
+        coarse_buckets = 4 * facts.sparkSession.sparkContext.defaultParallelism
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
@@ -128,22 +143,53 @@ def asof_join_cogroup(
             for c in value_cols:
                 out[f"asof_{c}"] = None
             return out
-        right = right.sort_values(ann_ts, kind="mergesort")[[ann_ts, *value_cols]]
+        right = right.sort_values(ann_ts, kind="mergesort")[
+            [entity, ann_ts, *value_cols]
+        ]
         right = right.rename(columns={c: f"asof_{c}" for c in value_cols})
+        # pandas `by` hash-matching skips NaN/None keys, but SQL group
+        # semantics must match NULL entities to NULL annotations (the
+        # dirty-data hot key) — sentinel-fill both sides when present
+        by_l, by_r = left[entity], right[entity]
+        if by_l.isna().any() or by_r.isna().any():
+            left = left.assign(**{entity: by_l.fillna("\x00__null__")})
+            right = right.assign(**{entity: by_r.fillna("\x00__null__")})
+            restore_null = True
+        else:
+            restore_null = False
         merged = pd.merge_asof(
             left,
             right,
             left_on=ts,
             right_on=ann_ts,
+            by=entity,
             direction="backward",
             tolerance=tolerance,
         )
+        if restore_null:
+            merged[entity] = merged[entity].replace("\x00__null__", None)
         return merged[fact_names + [f"asof_{c}" for c in value_cols]]
+
+    if coarse_buckets:
+        key = (
+            F.crc32(F.coalesce(F.col(entity).cast("string"), F.lit("\x00__null__")))
+            % coarse_buckets
+        ).alias("_cg")
+        return (
+            facts.groupBy(key)
+            .cogroup(annotations.groupBy(key))
+            .applyInPandas(lambda left, right: merge(left, right), schema=out_schema)
+        )
+
+    def merge_single(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # one entity per cogroup: `by` matching is vacuous but keeps
+        # one code path
+        return merge(left, right)
 
     return (
         facts.groupBy(entity)
         .cogroup(annotations.groupBy(entity))
-        .applyInPandas(lambda left, right: merge(left, right), schema=out_schema)
+        .applyInPandas(merge_single, schema=out_schema)
     )
 
 

@@ -871,3 +871,42 @@ def test_featurize_full_with_annotations(img_df, ann_df):
             .toPandas().sort_values(["image_id", "ts"]).reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(want, got, check_dtype=False)
+
+
+def test_cogroup_coarse_buckets_equal_including_nulls(spark, img_df, ann_df):
+    """Bucketed cogroup (one merge_asof(by=entity) per crc32 bucket —
+    the Arrow-overhead amortization) must equal both the per-entity
+    cogroup and the union form, including NULL entities (pandas `by`
+    skips NaN keys; the kernel sentinel-fills to keep SQL group
+    semantics)."""
+    import datetime as dt
+
+    ann1 = ann_df.groupBy("image_id", "start_ts").agg(F.max("value").alias("value"))
+    facts = img_df.select("image_id", "ts", "phash").unionByName(
+        spark.createDataFrame(
+            [(None, dt.datetime(2024, 1, 1, 0, 0, 5), 1)],
+            "image_id string, ts timestamp, phash long",
+        )
+    )
+    ann2 = ann1.unionByName(
+        spark.createDataFrame(
+            [(None, dt.datetime(2024, 1, 1, 0, 0, 1), 7.0)],
+            "image_id string, start_ts timestamp, value double",
+        )
+    )
+    want = (
+        asof.asof_join_union(facts, ann2, value_cols=("value",))
+        .toPandas()
+        .sort_values(["image_id", "ts"], na_position="first")
+        .reset_index(drop=True)
+    )
+    for cb in (-1, 4, None):
+        got = (
+            asof.asof_join_cogroup(
+                facts, ann2, value_cols=("value",), coarse_buckets=cb
+            )
+            .toPandas()
+            .sort_values(["image_id", "ts"], na_position="first")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(want, got[want.columns], check_dtype=False)
