@@ -42,6 +42,10 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+# NULL-entity stand-in for pandas merge_asof(by=...) — an object()
+# singleton no data value can equal (see asof_join_cogroup)
+_NULL_BY_KEY = object()
+
 
 def asof_join_union(
     facts: DataFrame,
@@ -121,7 +125,13 @@ def asof_join_cogroup(
     scan), overhead amortized across the bucket, skew no worse (a hot
     entity still occupies one bucket, exactly as it occupied one
     cogroup).  -1 = auto (4 x defaultParallelism); None/0 = one
-    cogroup per entity (the pre-bucketing behavior).
+    cogroup per entity.
+
+    Pass None when both sides are AT-REST bucketed by entity
+    (layout.write_bucketed): per-entity grouping is satisfied by the
+    scan's hashpartitioning(entity) — ZERO Exchange (plan-pinned in
+    tests/test_layout.py) — while the coarse crc32 key would force a
+    re-shuffle.  Coarse is for ad-hoc inputs that shuffle anyway.
     """
     import pyspark.sql.types as T
 
@@ -149,11 +159,19 @@ def asof_join_cogroup(
         right = right.rename(columns={c: f"asof_{c}" for c in value_cols})
         # pandas `by` hash-matching skips NaN/None keys, but SQL group
         # semantics must match NULL entities to NULL annotations (the
-        # dirty-data hot key) — sentinel-fill both sides when present
+        # dirty-data hot key).  The fill value is a process-local
+        # object() singleton, which no data value can collide with (a
+        # string sentinel would conflate a legitimate entity equal to
+        # it with the NULL group).
         by_l, by_r = left[entity], right[entity]
         if by_l.isna().any() or by_r.isna().any():
-            left = left.assign(**{entity: by_l.fillna("\x00__null__")})
-            right = right.assign(**{entity: by_r.fillna("\x00__null__")})
+            null_key = _NULL_BY_KEY
+            left = left.assign(
+                **{entity: by_l.astype(object).where(by_l.notna(), null_key)}
+            )
+            right = right.assign(
+                **{entity: by_r.astype(object).where(by_r.notna(), null_key)}
+            )
             restore_null = True
         else:
             restore_null = False
@@ -167,7 +185,8 @@ def asof_join_cogroup(
             tolerance=tolerance,
         )
         if restore_null:
-            merged[entity] = merged[entity].replace("\x00__null__", None)
+            col = merged[entity]
+            merged[entity] = col.where([v is not _NULL_BY_KEY for v in col], None)
         return merged[fact_names + [f"asof_{c}" for c in value_cols]]
 
     if coarse_buckets:
@@ -175,22 +194,11 @@ def asof_join_cogroup(
             F.crc32(F.coalesce(F.col(entity).cast("string"), F.lit("\x00__null__")))
             % coarse_buckets
         ).alias("_cg")
-        return (
-            facts.groupBy(key)
-            .cogroup(annotations.groupBy(key))
-            .applyInPandas(lambda left, right: merge(left, right), schema=out_schema)
-        )
-
-    def merge_single(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # one entity per cogroup: `by` matching is vacuous but keeps
-        # one code path
-        return merge(left, right)
-
-    return (
-        facts.groupBy(entity)
-        .cogroup(annotations.groupBy(entity))
-        .applyInPandas(merge_single, schema=out_schema)
-    )
+        grouped = facts.groupBy(key).cogroup(annotations.groupBy(key))
+    else:
+        # one entity per cogroup: `by` matching is vacuous, same kernel
+        grouped = facts.groupBy(entity).cogroup(annotations.groupBy(entity))
+    return grouped.applyInPandas(merge, schema=out_schema)
 
 
 def interval_label_join(

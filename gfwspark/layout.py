@@ -160,7 +160,6 @@ def zorder_key(bucket_cols: list, bits: int = 8):
 
 
 def zorder_table(
-    spark,
     df: DataFrame,
     path: str,
     cols: list[str],
@@ -176,9 +175,10 @@ def zorder_table(
     caller's lineage record."""
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = {
-        c: df.stat.approxQuantile(c, probs, 0.0) for c in cols
-    }
+    # ONE exact-quantile pass for all columns (approxQuantile takes a
+    # column list) — per-column calls would scan the table k times
+    all_bounds = df.stat.approxQuantile(cols, probs, 0.0)
+    bounds = dict(zip(cols, all_bounds))
     buckets = [zorder_bucket(c, bounds[c]) for c in cols]
     keyed = df.withColumn("_zkey", zorder_key(buckets, bits))
     n_files = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)

@@ -22,18 +22,34 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32) in the
-    sandbox; on a cluster, pass None and let spark-submit decide.
+    ``master=None`` does NOT set a master at all: under spark-submit
+    the launcher's --master (yarn/k8s/standalone) wins, which is the
+    cluster contract — a builder .master() call would silently override
+    it and run the job local on the driver node.  Standalone scripts
+    and tests get local[$SPARK_GRAFT_CPUS] only when no master is
+    configured anywhere.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if master is None:
-        master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    b = SparkSession.builder.appName(app_name)
+    if master is not None:
+        b = b.master(master)
+    else:
+        # local fallback ONLY when no launcher already provided a
+        # master (spark-submit --master lands in the JVM SparkConf as
+        # a system property; .master() here would override it)
+        try:
+            from pyspark import SparkConf
+
+            has_master = SparkConf().contains("spark.master")
+        except Exception:
+            has_master = False
+        if not has_master:
+            b = b.master(f"local[{cpus}]")
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        b
         # Oracle parity: DuckDB computes in UTC wall-clock.
         .config("spark.sql.session.timeZone", "UTC")
         # Runtime re-planning: partition coalescing + skew-join splitting.

@@ -513,6 +513,7 @@ def brute_force_topk_arrow(
     id_col: str = "vec_id",
     q_id_col: str = "q_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 100_000,
 ) -> DataFrame:
     """Exact top-k via an Arrow/BLAS kernel — the vectorized twin of
     brute_force_topk for when Python IS the fast path: the JVM form
@@ -523,57 +524,68 @@ def brute_force_topk_arrow(
     query; the global top-k then ranks |partitions| x k x |queries|
     rows — never the full score matrix.
 
-    Same semantics and tie-break (cosine desc, corpus id asc).  Scores
-    are round(·, 6) like the JVM kernel, but BLAS accumulates in a
-    different order than the sequential fold, so a score sitting
-    within float ulp of a 6-dp boundary can round differently — this
-    kernel is therefore benched and tested against the JVM form
-    (exact-match in practice at these dims) but the REGISTERED oracle
-    query stays on the fold kernel, whose summation order the SQL
-    oracle replays exactly."""
+    Same semantics and tie-break (cosine desc, corpus id asc) and the
+    same round-6 scores: candidates within 1e-6 of the raw kth value
+    are kept (a superset of every 6-dp tie) and the kept few are
+    rounded with util.round_half_up — the exact Spark/DuckDB rounding
+    — so results are bit-identical to the fold kernel (np.round would
+    be half-even on the binary double and is NOT used on scores).
+
+    ``max_broadcast_rows`` guards the driver collect of the query side
+    (same contract as asof_join_broadcast): this kernel is for many
+    corpus rows x a bounded query set."""
     import pandas as _pd
 
+    from gfwspark.util import round_half_up
+
+    n_q = queries.count()
+    if n_q > max_broadcast_rows:
+        raise ValueError(
+            f"brute_force_topk_arrow: {n_q} query rows exceed "
+            f"max_broadcast_rows={max_broadcast_rows}; the query side "
+            "is driver-collected and broadcast"
+        )
     spark = corpus.sparkSession
     qrows = queries.select(q_id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_ids = [r[0] for r in qrows]
     qm = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, D)
     qn = np.linalg.norm(qm, axis=1)
     bq = spark.sparkContext.broadcast((q_ids, qm, qn))
 
-    out_schema = f"{q_id_col} long, {id_col} long, cosine double"
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[q_id_col].dataType.simpleString()
+    out_schema = f"{q_id_col} {qid_t}, {id_col} {id_t}, cosine double"
 
     def _part(batches):
         q_ids_b, qm_b, qn_b = bq.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
             X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             cn = np.linalg.norm(X, axis=1)
-            S = (X @ qm_b.T) / (cn[:, None] * qn_b[None, :])  # (N, Q)
-            S = np.round(S, 6)
+            S = (X @ qm_b.T) / (cn[:, None] * qn_b[None, :])  # (N, Q) raw
             res = []
             for qi in range(len(q_ids_b)):
                 col = S[:, qi]
-                mask = ids != q_ids_b[qi]
-                cand_idx = np.nonzero(mask)[0]
+                cand_idx = np.nonzero(ids != q_ids_b[qi])[0]
                 if not len(cand_idx):
                     continue
-                # local top-k: kth-value threshold keeps ALL ties at the
-                # boundary (argpartition alone could drop a tied row the
-                # id tie-break should have kept), then exact sort
                 sel = cand_idx
                 if len(cand_idx) > k:
                     vals = col[cand_idx]
                     kth = -np.partition(-vals, k - 1)[k - 1]
-                    sel = cand_idx[vals >= kth]
-                order = sorted(sel, key=lambda i: (-col[i], ids[i]))[:k]
+                    # 1e-6 slack keeps every candidate that could tie
+                    # with the kth value after 6-dp rounding
+                    sel = cand_idx[vals >= kth - 1e-6]
+                r6 = {int(i): round_half_up(float(col[i])) for i in sel}
+                order = sorted(sel, key=lambda i: (-r6[int(i)], ids[i]))[:k]
                 res.append(
                     _pd.DataFrame(
                         {
-                            q_id_col: q_ids_b[qi],
-                            id_col: ids[order],
-                            "cosine": col[order],
+                            q_id_col: [q_ids_b[qi]] * len(order),
+                            id_col: [ids[i] for i in order],
+                            "cosine": [r6[int(i)] for i in order],
                         }
                     )
                 )

@@ -350,11 +350,14 @@ def upsert_partitioned(
         from functools import reduce
         from operator import and_
 
-        existing = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(path)
-            .filter(F.col("_bucket").isin(touched))
-        )
+        # mergeSchema reads EVERY file footer in the table — that cost
+        # is only paid when evolution is explicitly in play; the hot
+        # path (streaming per-batch upserts) keeps the cheap
+        # first-file-schema read so per-batch cost tracks batch size
+        reader = spark.read
+        if allow_schema_evolution:
+            reader = reader.option("mergeSchema", "true")
+        existing = reader.parquet(path).filter(F.col("_bucket").isin(touched))
         new_cols = set(b.columns) - set(existing.columns)
         lost_cols = set(existing.columns) - set(b.columns) - {"_bucket"}
         if (new_cols or lost_cols) and not allow_schema_evolution:

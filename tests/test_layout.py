@@ -130,7 +130,7 @@ def test_zorder_table_envelope_property(spark, tmp_path):
         "event_id", "user_id", "value"
     )
     path = str(tmp_path / "z")
-    r = layout.zorder_table(spark, ev, path, ["user_id", "value"], bits=4, n_files=8)
+    r = layout.zorder_table(ev, path, ["user_id", "value"], bits=4, n_files=8)
     assert set(r["boundaries"]) == {"user_id", "value"}
     back = spark.read.parquet(path)
     assert back.count() == ev.count()
@@ -181,11 +181,13 @@ def test_zorder_key_interleave_locality():
 
 def test_bucketed_asof_zero_shuffle(spark, tmp_path):
     """The at-rest answer to the as-of shuffle: with BOTH sides written
-    bucketed by entity (layout.write_bucketed), the cogroup as-of
-    satisfies its clustering requirement straight from the scan —
-    ZERO Exchange in the plan (the union form cannot: Union discards
-    children's partitioning, so it re-shuffles even over bucketed
-    reads).  Results equal the union form exactly."""
+    bucketed by entity (layout.write_bucketed), the PER-ENTITY cogroup
+    (coarse_buckets=None — coarse bucketing groups on a derived
+    crc32 key the scan's partitioning cannot satisfy) meets its
+    clustering requirement straight from the scan — ZERO Exchange in
+    the plan (the union form cannot: Union discards children's
+    partitioning, so it re-shuffles even over bucketed reads).
+    Results equal the union form exactly."""
     import pyspark.sql.functions as F
 
     from gfwspark import asof, layout, tables
@@ -211,7 +213,7 @@ def test_bucketed_asof_zero_shuffle(spark, tmp_path):
     layout.write_bucketed(ann, "zb_ann", ["image_id"], 4, sort_cols=["image_id", "start_ts"])
     f, a = spark.table("zb_facts"), spark.table("zb_ann")
 
-    out = asof.asof_join_cogroup(f, a, value_cols=("label",))
+    out = asof.asof_join_cogroup(f, a, value_cols=("label",), coarse_buckets=None)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 0, plan
 
