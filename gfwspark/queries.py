@@ -50,84 +50,75 @@ def register(name: str, oracle: str | None):
 # rows plus the local dtype-strict gate in tests/test_oracle_parity.py
 # (which replays ALL oracles at the driver's sf0.01 every session).
 #
-# Round-5 rotation: (a) the only two queries with no driver row EVER
-# (registered mid-r4 after the 50-slot window filled); (b) debut rows
-# for the queries NEW this round (composed LLM corpus-prep flagship,
-# storage-maintenance round-trips); (c) all 36 queries whose last
-# driver row is round 3 (the r4 rotation displaced them); (d) backfill
-# with the queries whose code paths CHANGED this round (asof auto
-# dispatch, featurize_full).  2 never-gated + 5 debut + 36 refresh +
-# 7 changed-code = 50.  With r4's rows, r4 ∪ r5 covers every
-# registered query at most one round stale.
+# Round-6 rotation: (a) the only three queries with no driver row
+# EVER (registered late-r5 after the window filled); (b) debut rows
+# for the queries NEW this round (int8 IVF composition, corpus-prep
+# stage audit); (c) re-gates for queries whose code paths CHANGED
+# this round (upsert schema-evolution manifest fix, corpus audit
+# wiring); (d) all 43 queries whose last driver row is round 4 —
+# they would otherwise go two rounds stale.  3 never-gated +
+# 2 debut + 2 changed-code + 43 refresh = 50.  With r5's rows,
+# r5 ∪ r6 covers every registered query at most one round stale.
 # ---------------------------------------------------------------------
 
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-gated (registered mid-r4, window was full)
-    "containment_dups",
-    "winsorize_features",
+    # never driver-gated (registered late-r5, window was full)
+    "zorder_key",
+    "ann_brute_topk_arrow",
+    "ann_int8_topk",
     # new this round — debut rows
-    "llm_corpus_prep",
+    "ann_ivf_int8",
+    "corpus_stage_audit",
+    # code paths changed this round — re-gate
     "upsert_roundtrip",
-    "compact_roundtrip",
-    "pii_scrub",
-    "quality_classifier",
-    # last driver row is round 3 — refresh (36)
-    "consolidate_runs_daysplit",
-    "semi_anti_join",
-    "overlap_theta_join",
-    "hash_split",
-    "dedup_exact",
-    "ngram_jaccard_dups",
-    "minhash_lsh_dups",
-    "dedup_clusters",
-    "kmeans_refine",
-    "ann_ivf_trained",
-    "tfidf_top_terms",
-    "embed_dedup_clusters",
-    "phash_near_dups",
-    "minute_grid_agreement",
-    "score_rescale_softmax",
-    "argmax_array",
-    "multilabel_explode",
-    "repeat_pad_windows",
-    "aligned_windows",
-    "repeat_pad_roll",
-    "time_range_window",
-    "chunked_time_range",
-    "log_weighted_mean",
-    "finiteness_filter",
-    "salted_two_phase_agg",
-    "percentiles",
-    "per_entity_zscore",
-    "asof_join_broadcast",
-    "expanding_zscore",
-    "stratified_sample",
-    "pack_token_batches",
-    "sliding_feature_windows",
-    "sliding_agg_large",
-    "range_anchored_windows",
-    "sampled_time_windows",
-    "range_feature_windows",
-    # code paths changed this round — re-gate (7): the asof front door
-    # and union/chunked kernels (auto dispatch rework), featurize
-    # (asof_strategy threading), and the two text queries whose
-    # operators were restructured for performance
-    # (with_repetition_stats single-reference rewrite,
-    # ngram_decontaminate semi-join-before-distinct)
-    "asof_join_auto",
-    "asof_join_chunked",
-    "asof_join_union",
-    "asof_join_cogroup",
-    "flagship_featurize",
-    "doc_repetition",
-    "decontaminate_13gram",
+    "llm_corpus_prep",
+    # last driver row is round 4 — refresh (43)
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_lsh_multiprobe",
+    "ann_lsh_topk",
+    "aspect_bucket_batches",
+    "bloom_semi_join",
+    "class_prevalence",
+    "class_weights",
+    "composite_rollup",
+    "confusion_matrix",
+    "consolidate_runs",
+    "dedup_priority",
+    "doc_fingerprint",
+    "doc_quality",
+    "doc_stats",
+    "embedding_near_dups",
+    "entity_minmax_agg",
+    "equi_join_broadcast",
+    "ffill_backfill",
+    "id_set_ops",
+    "lag_lead",
+    "lang_id",
+    "masked_attribute_mean",
+    "minhash_signatures",
+    "month_grid_windows",
+    "multihot_encode",
+    "normalization_stats",
+    "phash_dedup_clusters",
+    "precision_recall_f1",
+    "score_consolidation",
+    "semiyear_union",
+    "sessionize",
+    "simhash",
+    "sliding_windows",
+    "stable_hash_ids",
+    "temporal_split_embargo",
+    "time_weighted_entity_weight",
+    "token_counts",
+    "token_explode_count",
+    "topk_per_group",
+    "train_info_cte",
+    "tumbling_daily",
+    "weighted_sample",
 )
-# rotated out for round 5 (all r4 driver-green, unchanged code, local
-# parity coverage retained): the remaining r4 debut set
-# (phash_dedup_clusters, temporal_split_embargo, aspect_bucket_batches,
-# bloom_semi_join, stable_hash_ids), the r2-refresh metrics/ANN/text
-# family, and the unchanged flagship queries (sessionize, sliding_
-# windows, consolidate_runs, lag_lead, tumbling_daily, ...) — they
+# rotated out for round 6 (all r5 driver-green, unchanged code, local
+# parity coverage retained): the r5 debut/refresh family — they
 # follow in registration order.
 
 
