@@ -42,6 +42,105 @@ from pyspark.sql import DataFrame, Window
 
 from gfwspark import dedup, sources, text
 
+#: (stage_idx, stage_name) in pipeline order — the audit vocabulary.
+STAGES: tuple[tuple[int, str], ...] = (
+    (1, "quality_gate"),
+    (2, "repetition_gate"),
+    (3, "exact_dedup"),
+    (4, "minhash_near_dedup"),
+    (5, "decontaminate"),
+    (6, "temporal_split_embargo"),
+    (7, "token_budget_pack"),
+)
+
+
+def _stage_frames(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    entity: str,
+    ts: str,
+    quality_min: float,
+    max_dup_2gram: float,
+    near_dup_threshold: float,
+    decontam_n: int,
+    horizon_s: int,
+    embargo_s: int,
+    token_budget: int,
+    materialize_survivors: bool,
+    materialize_stages: bool = False,
+) -> list[DataFrame]:
+    """The pipeline, one frame per completed stage (len == 7, indexed
+    by STAGES order).  ``materialize_stages`` additionally
+    localCheckpoints the post-dedup stage outputs (4-6) so an audit
+    that counts every stage touches each subtree exactly once — the
+    production audit configuration; without it the stages stay one
+    lazy plan."""
+    frames: list[DataFrame] = []
+    d = docs
+    # 1-2: row-local quality + repetition gates (no shuffle)
+    d = text.with_quality_score(d, text_col).filter(
+        F.col("quality") >= quality_min
+    )
+    frames.append(d)
+    d = text.with_repetition_stats(d, text_col, ns=(2,)).filter(
+        F.col("dup_2gram_frac") <= max_dup_2gram
+    )
+    frames.append(d)
+    # 3: exact dedup — keep the smallest id per content hash
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    d = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if materialize_survivors:
+        d = d.localCheckpoint(eager=True)
+    frames.append(d)
+    # 4: MinHash-LSH near dedup (exact-Jaccard verified) — drop doc_b.
+    # Staged rather than via dedup.minhash_near_dups so the shingle
+    # frame can share the materialization point: the verify step reads
+    # it three times (signatures, sizes, intersection), and lazily
+    # each read re-runs the tokenize+shingle+hash explode.
+    sh = dedup.shingles(d, id_col=id_col, text_col=text_col)
+    if materialize_survivors:
+        sh = sh.localCheckpoint(eager=True)
+    sig = dedup.minhash_signatures(sh, id_col=id_col)
+    cand = dedup.lsh_candidates(sig, id_col=id_col)
+    pairs = dedup.jaccard_verify(cand, sh, id_col=id_col, threshold=near_dup_threshold)
+    drop_b = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    d = d.join(drop_b, id_col, "left_anti")
+    if materialize_stages:
+        d = d.localCheckpoint(eager=True)
+    frames.append(d)
+    # 5: benchmark decontamination — drop any doc sharing an n-gram
+    contaminated = text.ngram_decontaminate(
+        d, benchmark, n=decontam_n, id_col=id_col, text_col=text_col
+    ).select(id_col)
+    d = d.join(contaminated, id_col, "left_anti")
+    if materialize_stages:
+        d = d.localCheckpoint(eager=True)
+    frames.append(d)
+    # 6: leakage-free temporal split (drops the embargo band)
+    d = sources.temporal_split_embargo(
+        d, horizon_s=horizon_s, embargo_s=embargo_s, entity=entity, ts=ts
+    )
+    if materialize_stages:
+        d = d.localCheckpoint(eager=True)
+    frames.append(d)
+    # 7: token counting + contiguous budget packing per (split, entity)
+    d = d.withColumn("n_tokens", F.size(text.tokens_col(text_col)).cast("long"))
+    d = sources.pack_token_budget_batches(
+        d,
+        "n_tokens",
+        budget=token_budget,
+        order_cols=[id_col],
+        partition_col=["split", entity],
+    )
+    frames.append(d)
+    return frames
+
 
 def prepare_corpus(
     docs: DataFrame,
@@ -78,55 +177,12 @@ def prepare_corpus(
     materialization buys back three full recomputes; the right trade
     on a production run, kept opt-out so single-action oracle replays
     stay one lazy plan)."""
-    d = docs
-    # 1-2: row-local quality + repetition gates (no shuffle)
-    d = text.with_quality_score(d, text_col).filter(
-        F.col("quality") >= quality_min
+    frames = _stage_frames(
+        docs, benchmark, id_col, text_col, entity, ts, quality_min,
+        max_dup_2gram, near_dup_threshold, decontam_n, horizon_s,
+        embargo_s, token_budget, materialize_survivors,
     )
-    d = text.with_repetition_stats(d, text_col, ns=(2,)).filter(
-        F.col("dup_2gram_frac") <= max_dup_2gram
-    )
-    # 3: exact dedup — keep the smallest id per content hash
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    d = (
-        d.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    if materialize_survivors:
-        d = d.localCheckpoint(eager=True)
-    # 4: MinHash-LSH near dedup (exact-Jaccard verified) — drop doc_b.
-    # Staged rather than via dedup.minhash_near_dups so the shingle
-    # frame can share the materialization point: the verify step reads
-    # it three times (signatures, sizes, intersection), and lazily
-    # each read re-runs the tokenize+shingle+hash explode.
-    sh = dedup.shingles(d, id_col=id_col, text_col=text_col)
-    if materialize_survivors:
-        sh = sh.localCheckpoint(eager=True)
-    sig = dedup.minhash_signatures(sh, id_col=id_col)
-    cand = dedup.lsh_candidates(sig, id_col=id_col)
-    pairs = dedup.jaccard_verify(cand, sh, id_col=id_col, threshold=near_dup_threshold)
-    drop_b = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    d = d.join(drop_b, id_col, "left_anti")
-    # 5: benchmark decontamination — drop any doc sharing an n-gram
-    contaminated = text.ngram_decontaminate(
-        d, benchmark, n=decontam_n, id_col=id_col, text_col=text_col
-    ).select(id_col)
-    d = d.join(contaminated, id_col, "left_anti")
-    # 6: leakage-free temporal split (drops the embargo band)
-    d = sources.temporal_split_embargo(
-        d, horizon_s=horizon_s, embargo_s=embargo_s, entity=entity, ts=ts
-    )
-    # 7: token counting + contiguous budget packing per (split, entity)
-    d = d.withColumn("n_tokens", F.size(text.tokens_col(text_col)).cast("long"))
-    d = sources.pack_token_budget_batches(
-        d,
-        "n_tokens",
-        budget=token_budget,
-        order_cols=[id_col],
-        partition_col=["split", entity],
-    )
-    return d.select(
+    return frames[-1].select(
         id_col,
         entity,
         "quality",
@@ -136,3 +192,67 @@ def prepare_corpus(
         "batch_id",
         "batch_start_offset",
     )
+
+
+def prepare_corpus_audit(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    entity: str = "source",
+    ts: str = "ts",
+    quality_min: float = 0.999,
+    max_dup_2gram: float = 0.1,
+    near_dup_threshold: float = 0.5,
+    decontam_n: int = 13,
+    horizon_s: int = 100 * 3600,
+    embargo_s: int = 40 * 3600,
+    token_budget: int = 512,
+    materialize_survivors: bool = True,
+) -> DataFrame:
+    """The pipeline's data-loss accounting as a first-class frame:
+    one row per stage — (stage_idx int, stage string, rows_in long,
+    rows_out long, dropped long) — so a 100-TB run's per-gate
+    attrition is queryable/persistable rather than scraped from
+    stdout.  Stage 7 (packing) drops nothing by construction; its row
+    makes that auditable instead of assumed.
+
+    Counting strategy: each stage frame is localCheckpointed
+    (materialize_stages), so the 8 counts touch each subtree exactly
+    once and downstream stages read their predecessor's materialized
+    blocks — the audit costs one extra pass over each stage's
+    SURVIVORS, not a recompute of the pipeline per count.  The counts
+    are folded into a single 1-row frame (7 crossJoins of 1-row
+    aggregates, then checkpointed — bounded at one row) and exploded
+    into the per-stage rows, keeping the whole audit one distributed
+    plan with no driver-side .count() loop."""
+    frames = _stage_frames(
+        docs, benchmark, id_col, text_col, entity, ts, quality_min,
+        max_dup_2gram, near_dup_threshold, decontam_n, horizon_s,
+        embargo_s, token_budget, materialize_survivors,
+        materialize_stages=True,
+    )
+
+    def _cnt(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(alias))
+
+    row = _cnt(docs, "n0")
+    for i, f in enumerate(frames, start=1):
+        row = row.crossJoin(_cnt(f, f"n{i}"))
+    # one row; eager so the 7 per-stage selects below don't each
+    # re-evaluate the crossJoin-of-aggregates subtree
+    row = row.localCheckpoint(eager=True)
+    parts = [
+        row.select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(f"n{idx - 1}").alias("rows_in"),
+            F.col(f"n{idx}").alias("rows_out"),
+            (F.col(f"n{idx - 1}") - F.col(f"n{idx}")).alias("dropped"),
+        )
+        for idx, name in STAGES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

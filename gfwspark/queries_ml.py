@@ -557,9 +557,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_K, _KM_DIM = 8, 64
 
-_KMEANS_CTES = f"""base AS (
-  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
-  FROM embeddings
+
+def _kmeans_ctes(base_select: str) -> str:
+    """The 2-iteration Lloyd chain (c0..m2) over a caller-chosen base
+    select producing (vec_id, v double[]) — shared by the float-trained
+    oracles (base = embeddings) and the int8 one (base = the
+    dequantized reconstruction)."""
+    return f"""base AS (
+  {base_select}
 ),
 dims AS (SELECT unnest(generate_series(0, {_KM_DIM - 1})) AS pos),
 c0 AS (
@@ -614,6 +619,12 @@ m2 AS (
   GROUP BY a.cid, d.pos
 )
 """
+
+
+_KMEANS_CTES = _kmeans_ctes(
+    "SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v\n"
+    "  FROM embeddings"
+)
 
 _KMEANS_ORACLE = f"""
 WITH {_KMEANS_CTES}
@@ -1149,7 +1160,11 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CP_HORIZON_US = 100 * 3600 * 1_000_000
 _CP_EMBARGO_US = 40 * 3600 * 1_000_000
 
-_CORPUS_PREP_ORACLE = f"""
+# The WITH-chain is shared between the survivors oracle
+# (llm_corpus_prep) and the stage-audit oracle (corpus_stage_audit):
+# s1..s5 are the post-gate survivor sets, s6 the post-split set, p the
+# packed output — so per-stage counts fall straight out of the chain.
+_CORPUS_PREP_CTES = f"""
 WITH base AS (
   SELECT doc_id, text, source FROM documents
   UNION ALL
@@ -1288,17 +1303,66 @@ p AS (
       AS bigint) AS batch_start_offset
   FROM s7
 )
+"""
+
+_CORPUS_PREP_ORACLE = (
+    _CORPUS_PREP_CTES
+    + """
 SELECT doc_id, source, quality, dup_2gram_frac, n_tokens, split,
   cast(floor(batch_start_offset / 512.0) AS bigint) AS batch_id,
   batch_start_offset
 FROM p
 """
+)
+
+# Per-stage attrition accounting over the same chain; stage names must
+# match gfwspark.corpus.STAGES.  Packing (stage 7) drops nothing by
+# construction — its row makes that auditable instead of assumed.
+#
+# AS MATERIALIZED on every CTE: the 8 per-stage counts each reference
+# the chain's suffix, and DuckDB's default inline-per-reference
+# planning re-expands the (already self-referencing) dedup subtrees
+# once PER COUNT — combinatorial blowup that turns a 2.4 s chain into
+# minutes.  Materialization makes each stage evaluate exactly once,
+# mirroring the Spark side's per-stage localCheckpoints.
+_CORPUS_AUDIT_ORACLE = (
+    _CORPUS_PREP_CTES.replace(" AS (", " AS MATERIALIZED (")
+    + """
+, c AS (
+  SELECT
+    (SELECT count(*) FROM base) AS n0,
+    (SELECT count(*) FROM s1) AS n1,
+    (SELECT count(*) FROM s2) AS n2,
+    (SELECT count(*) FROM s3) AS n3,
+    (SELECT count(*) FROM s4) AS n4,
+    (SELECT count(*) FROM s5) AS n5,
+    (SELECT count(*) FROM s6) AS n6,
+    (SELECT count(*) FROM p) AS n7
+)
+SELECT stage_idx, stage,
+  cast(rows_in AS bigint) AS rows_in,
+  cast(rows_out AS bigint) AS rows_out,
+  cast(rows_in - rows_out AS bigint) AS dropped
+FROM (
+  SELECT cast(1 AS integer) AS stage_idx, 'quality_gate' AS stage,
+         n0 AS rows_in, n1 AS rows_out FROM c
+  UNION ALL SELECT 2, 'repetition_gate', n1, n2 FROM c
+  UNION ALL SELECT 3, 'exact_dedup', n2, n3 FROM c
+  UNION ALL SELECT 4, 'minhash_near_dedup', n3, n4 FROM c
+  UNION ALL SELECT 5, 'decontaminate', n4, n5 FROM c
+  UNION ALL SELECT 6, 'temporal_split_embargo', n5, n6 FROM c
+  UNION ALL SELECT 7, 'token_budget_pack', n6, n7 FROM c
+)
+"""
+)
 
 
-@register("llm_corpus_prep", _CORPUS_PREP_ORACLE)
-def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gfwspark import corpus
-
+def _corpus_prep_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base, benchmark) with the planted per-stage failures — shared
+    by the survivors query and the stage-audit query so both run the
+    identical pipeline input."""
     d = tables.load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
@@ -1343,9 +1407,29 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 50 == 0).select(
         F.concat_ws(" ", F.slice(toks, 11, 30)).alias("text")
     )
+    return base, bench
+
+
+@register("llm_corpus_prep", _CORPUS_PREP_ORACLE)
+def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gfwspark import corpus
+
+    base, bench = _corpus_prep_inputs(spark, sf_dir)
     # materialize_survivors: the production configuration — the
     # survivor frame feeds four branches (see corpus.prepare_corpus)
     return corpus.prepare_corpus(base, bench, materialize_survivors=True)
+
+
+@register("corpus_stage_audit", _CORPUS_AUDIT_ORACLE)
+def q_corpus_stage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage data-loss accounting of the corpus-prep pipeline as a
+    first-class frame (stage_idx, stage, rows_in, rows_out, dropped) —
+    every planted-failure family makes its stage's `dropped` non-zero,
+    so the audit itself is oracle-checked non-vacuously."""
+    from gfwspark import corpus
+
+    base, bench = _corpus_prep_inputs(spark, sf_dir)
+    return corpus.prepare_corpus_audit(base, bench)
 
 
 # ---------------------------------------------------------------------
@@ -1651,8 +1735,10 @@ _Q8_DQ = (
     "round(({e}[i]::DOUBLE - p.mns[i]) / p.scs[i]))) * p.scs[i])"
 )
 
-_INT8_TOPK_ORACLE = f"""
-WITH ex AS (
+# quantize -> reconstruct chain shared by the brute-force int8 oracle
+# and the int8-IVF one: dq = (vec_id, dv double[]) is the dequantized
+# reconstruction every downstream stage runs on.
+_Q8_CTES = f"""ex AS (
   SELECT vec_id, i, embedding[i]::DOUBLE AS v
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
 ),
@@ -1666,7 +1752,10 @@ p AS (SELECT list(mn ORDER BY i) AS mns, list(sc ORDER BY i) AS scs FROM pp),
 dq AS (
   SELECT vec_id, {_Q8_DQ.format(e='embedding')} AS dv
   FROM embeddings CROSS JOIN p
-),
+)"""
+
+_INT8_TOPK_ORACLE = f"""
+WITH {_Q8_CTES},
 q AS (SELECT vec_id AS q_id, dv AS q_dv FROM dq WHERE vec_id < 10),
 scored AS (
   SELECT q.q_id, c.vec_id,
@@ -1695,3 +1784,93 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return similarity.brute_force_topk(qz, q, k=5)
+
+
+# ---------------------------------------------------------------------
+# The production 100-TB ANN shape, end-to-end: int8 inverted lists AT
+# REST.  quantization_params -> quantize_embeddings -> kmeans_fit on
+# the dequantized reconstruction (what the at-rest data can reproduce)
+# -> ivf_write storing ONLY the smallint vectors, cid-partitioned ->
+# probe the persisted lists through partition pruning -> dequantize ->
+# exact cosine re-rank.  The query runs the REAL write to a scratch
+# dir each invocation (the read-back path is the one measured), and
+# the oracle recomputes quantization + 2-iteration Lloyd + assignment
+# + probe + re-rank entirely in SQL.  Output is bounded at k x |Q|
+# rows, so the pre-cleanup materialization is scale-safe.
+# ---------------------------------------------------------------------
+
+_IVF_INT8_ORACLE = f"""
+WITH {_Q8_CTES},
+{_kmeans_ctes("SELECT vec_id, dv AS v FROM dq")},
+kcent AS (
+  SELECT c1.cid, list(coalesce(m2.val, c1.val) ORDER BY c1.pos) AS c_vec
+  FROM c1 LEFT JOIN m2 ON m2.cid = c1.cid AND m2.pos = c1.pos
+  GROUP BY c1.cid
+),
+asg AS (
+  SELECT vec_id, dv, cid FROM (
+    SELECT e.vec_id, e.dv, k.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        round({_d_dot('e.dv', 'k.c_vec')}
+              / ({_d_norm('e.dv')} * {_d_norm('k.c_vec')}), 6) DESC, k.cid) AS rnk
+    FROM dq e CROSS JOIN kcent k
+  ) WHERE rnk = 1
+),
+qprob AS (
+  SELECT q_id, q_dv, cid FROM (
+    SELECT q.vec_id AS q_id, q.dv AS q_dv, k.cid,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        round({_d_dot('q.dv', 'k.c_vec')}
+              / ({_d_norm('q.dv')} * {_d_norm('k.c_vec')}), 6) DESC, k.cid) AS pr
+    FROM dq q CROSS JOIN kcent k WHERE q.vec_id < 10
+  ) WHERE pr <= {_IVT_NPROBE}
+),
+scored AS (
+  SELECT p.q_id, a.vec_id,
+    round({_d_dot('a.dv', 'p.q_dv')}
+          / ({_d_norm('a.dv')} * {_d_norm('p.q_dv')}), 6) AS cosine
+  FROM asg a JOIN qprob p ON a.cid = p.cid AND a.vec_id <> p.q_id
+),
+r AS (
+  SELECT q_id, vec_id, cosine,
+    cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS int) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_int8", _IVF_INT8_ORACLE)
+def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    mins, scales = similarity.quantization_params(emb, dim=_EMB_DIM)
+    dq = similarity.quantize_embeddings(emb, mins, scales).select(
+        "vec_id",
+        "q_embedding",
+        similarity.dequantize_col(mins, scales).alias("embedding"),
+    )
+    cent = similarity.kmeans_fit(dq, k=_KM_K, n_iter=2)
+    q = dq.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    scratch = tempfile.mkdtemp(prefix="gfw_ivf_int8_")
+    try:
+        path = scratch + "/lists"
+        similarity.ivf_write(dq, cent, path, store_cols=["q_embedding"])
+        out = similarity.ivf_topk_at_rest(
+            spark,
+            path,
+            q,
+            cent,
+            k=5,
+            n_probe=_IVT_NPROBE,
+            list_vec=similarity.dequantize_col(mins, scales),
+        )
+        # materialize the (<= k x |Q|)-row result before the scratch
+        # lists vanish
+        return spark.createDataFrame(out.toPandas(), schema=out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -207,11 +207,17 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its highest-cosine
     centroid (ties to the smaller centroid id).  Broadcast the (tiny)
     centroid table; the corpus is touched map-side only — the classic
-    inverted-file build, write-side partitionable by `cid`."""
+    inverted-file build, write-side partitionable by `cid`.
+
+    ``payload_cols``: extra columns carried through unchanged (e.g. the
+    int8-quantized vector when assignment runs on the dequantized
+    reconstruction but the LIST stores the compressed form)."""
+    carry = [vec_col, *(payload_cols or [])]
     cent = centroids.select(
         F.col("cid"), F.col(vec_col).alias("c_vec")
     )
@@ -221,9 +227,13 @@ def ivf_assign(
     return (
         scored.groupBy(id_col)
         .agg(
-            F.min_by(F.struct("cid", vec_col), F.struct((-F.col("_sim")).alias("d"), "cid")).alias("_best")
+            F.min_by(F.struct("cid", *carry), F.struct((-F.col("_sim")).alias("d"), "cid")).alias("_best")
         )
-        .select(id_col, F.col("_best.cid").alias("cid"), F.col(f"_best.{vec_col}").alias(vec_col))
+        .select(
+            id_col,
+            F.col("_best.cid").alias("cid"),
+            *[F.col(f"_best.{c}").alias(c) for c in carry],
+        )
     )
 
 
@@ -247,6 +257,27 @@ def ivf_topk(
     the inverted lists are the write-side partitioning, so a query
     touches n_probe/n_centroids of the corpus."""
     c = ivf_assign(corpus, centroids, id_col, vec_col)
+    probes = ivf_probes(queries, centroids, n_probe, q_id_col, vec_col)
+    cand = c.join(F.broadcast(probes), "cid").filter(F.col(id_col) != F.col(q_id_col))
+    scored = with_cosine(cand, vec_col, "q_embedding")
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
+def ivf_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    q_id_col: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Each query's `n_probe` highest-cosine centroids (ties to the
+    smaller cid): (q_id, q_embedding, cid), one row per probe.  The
+    centroid table broadcasts; the query side is touched map-side."""
     cent = centroids.select("cid", F.col(vec_col).alias("c_vec"))
     qs = (
         queries.select(F.col(q_id_col), F.col(vec_col).alias("q_embedding"))
@@ -257,18 +288,10 @@ def ivf_topk(
         )
     )
     wq = Window.partitionBy(q_id_col).orderBy(F.col("_sim").desc(), F.col("cid"))
-    probes = (
+    return (
         qs.withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= n_probe)
         .select(q_id_col, "q_embedding", "cid")
-    )
-    cand = c.join(F.broadcast(probes), "cid").filter(F.col(id_col) != F.col(q_id_col))
-    scored = with_cosine(cand, vec_col, "q_embedding")
-    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(q_id_col, id_col, "cosine", "rank")
     )
 
 
@@ -487,6 +510,7 @@ def ivf_write(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    store_cols: list[str] | None = None,
 ) -> None:
     """Materialize the IVF index AT REST: the corpus assigned to its
     nearest centroid (ivf_assign) written as parquet partitioned by
@@ -494,9 +518,19 @@ def ivf_write(
     wants n_probe of n_centroids lists then reads n_probe/n_centroids
     of the files via partition pruning; nothing else is opened.  This
     is the 100-TB ANN serving shape (FAISS IVF's list structure,
-    expressed as table layout)."""
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    expressed as table layout).
+
+    ``store_cols``: which vector columns land in the lists (default
+    [vec_col]).  Pass ["q_embedding"] to store ONLY the int8-quantized
+    form — assignment still runs on `vec_col` (the dequantized
+    reconstruction), but the lists hold smallint vectors, 4x smaller
+    at rest and over the probe read."""
+    keep = store_cols if store_cols is not None else [vec_col]
+    payload = [c for c in keep if c != vec_col]
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, payload_cols=payload)
+    assigned.select(id_col, "cid", *keep).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(path)
 
 
 def ivf_read_lists(spark, path: str, cids: list[int]) -> DataFrame:
@@ -504,6 +538,54 @@ def ivf_read_lists(spark, path: str, cids: list[int]) -> DataFrame:
     the partition-directory level (verify with .explain: PartitionFilters
     carries cid, and PartitionCount == len(cids))."""
     return spark.read.parquet(path).filter(F.col("cid").isin(cids))
+
+
+def ivf_topk_at_rest(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    vec_col: str = "embedding",
+    list_vec=None,
+) -> DataFrame:
+    """Serve top-k from the PERSISTED inverted lists: pick each query's
+    `n_probe` centroids (ivf_probes), read only those list directories
+    via partition pruning (ivf_read_lists), exact cosine re-rank inside
+    them.  Identical results to ivf_topk over the same assignment — the
+    difference is that the corpus scan touches n_probed/n_centroids of
+    the files.
+
+    ``list_vec``: Column mapping the stored list schema to the double[]
+    vector to re-rank on (e.g. dequantize_col(mins, scales) when the
+    lists store int8) — default reads `vec_col` as written.
+
+    The probed-cid collect is bounded by the centroid count (distinct
+    probed cids <= n_centroids, itself driver-materialized by
+    kmeans_fit), never by corpus or query cardinality."""
+    probes = ivf_probes(queries, centroids, n_probe, q_id_col, vec_col)
+    cids = sorted(
+        r["cid"] for r in probes.select("cid").distinct().collect()
+    )
+    lists = ivf_read_lists(spark, path, cids)
+    if list_vec is not None:
+        lists = lists.withColumn(vec_col, list_vec)
+    # project to exactly (id, cid, vector) — a stored payload column
+    # (e.g. q_embedding int8 lists) must not collide with the probe
+    # frame's q_embedding
+    cand = lists.select(id_col, "cid", vec_col).join(
+        F.broadcast(probes), "cid"
+    ).filter(F.col(id_col) != F.col(q_id_col))
+    scored = with_cosine(cand, vec_col, "q_embedding")
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
 
 
 def brute_force_topk_arrow(

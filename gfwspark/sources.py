@@ -303,6 +303,48 @@ def temporal_split_embargo(
     )
 
 
+#: Sidecar recording the table's authoritative column set (Iceberg
+#: keeps this in its metadata tree; the parquet stand-in needs it too,
+#: because a plain `spark.read.parquet` infers the schema from ONE
+#: arbitrary file — on a mixed-schema table that silently drops the
+#: evolved columns from any rewrite).  Leading underscore keeps Spark's
+#: parquet reader from treating it as data.
+_SCHEMA_MANIFEST = "_table_schema.json"
+
+
+def _read_schema_manifest(path: str) -> list[str] | None:
+    import json
+    import os
+
+    p = os.path.join(path, _SCHEMA_MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["columns"]
+
+
+def _write_schema_manifest(path: str, columns: list[str]) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, _SCHEMA_MANIFEST), "w") as f:
+        json.dump({"columns": sorted(columns)}, f)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a managed parquet table with its COMPLETE schema: if the
+    schema manifest says the cheap (first-file-schema) read is missing
+    columns — i.e. the table has evolved and the inferred schema came
+    from a pre-evolution file — re-read with mergeSchema.  The
+    footer-scan cost is paid only when the table actually holds mixed
+    schemas, never on the hot path."""
+    df = spark.read.parquet(path)
+    manifest = _read_schema_manifest(path)
+    if manifest is not None and not set(manifest) <= set(df.columns):
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+    return df
+
+
 def upsert_partitioned(
     spark: SparkSession,
     batch: DataFrame,
@@ -350,14 +392,15 @@ def upsert_partitioned(
         from functools import reduce
         from operator import and_
 
-        # mergeSchema reads EVERY file footer in the table — that cost
-        # is only paid when evolution is explicitly in play; the hot
-        # path (streaming per-batch upserts) keeps the cheap
-        # first-file-schema read so per-batch cost tracks batch size
-        reader = spark.read
-        if allow_schema_evolution:
-            reader = reader.option("mergeSchema", "true")
-        existing = reader.parquet(path).filter(F.col("_bucket").isin(touched))
+        # read_table consults the schema manifest: a table that holds
+        # mixed-schema files (a prior evolved upsert) is ALWAYS read
+        # with mergeSchema — otherwise Spark infers the schema from one
+        # arbitrary file, and an old-schema draw would make this merge
+        # silently rewrite the touched buckets without the evolved
+        # columns (permanent data loss).  The footer-scan cost is paid
+        # only on genuinely mixed tables; the hot path (uniform schema,
+        # streaming per-batch upserts) keeps the cheap first-file read.
+        existing = read_table(spark, path).filter(F.col("_bucket").isin(touched))
         new_cols = set(b.columns) - set(existing.columns)
         lost_cols = set(existing.columns) - set(b.columns) - {"_bucket"}
         if (new_cols or lost_cols) and not allow_schema_evolution:
@@ -389,6 +432,10 @@ def upsert_partitioned(
         .partitionBy("_bucket")
         .parquet(path)
     )
+    # record the now-authoritative column set so every later read —
+    # including a default (non-evolving) upsert's — sees the full
+    # schema even while untouched buckets still hold old-schema files
+    _write_schema_manifest(path, out.columns)
     return {"touched_buckets": touched, "upserted": n_up, "deleted": deleted}
 
 
@@ -443,11 +490,14 @@ def compact_table(
         shutil.rmtree(tmp)
     files_before, total_bytes = _stats(path)
     n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
-    df = spark.read.parquet(path)
+    # manifest-aware read: compacting an evolved (mixed-schema) table
+    # must rewrite the union schema, not one arbitrary file's
+    df = read_table(spark, path)
     out = df.repartition(n_out)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(tmp)
+    _write_schema_manifest(tmp, out.columns)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

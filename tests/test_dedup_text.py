@@ -684,3 +684,81 @@ def test_int8_quantization_reconstruction_and_recall(spark):
         b = set(approx[approx.q_id == qid].vec_id)
         hits += len(a & b)
     assert hits / 50 >= 0.8, hits  # 8-bit reconstruction keeps top-k
+
+
+def test_prepare_corpus_audit_consistent(spark):
+    """The stage-audit frame is internally consistent and agrees with
+    the survivors pipeline: counts chain (rows_in[i+1] == rows_out[i]),
+    packing drops nothing, every gate stage drops >0 on the planted
+    input, and the final rows_out equals the survivor count."""
+    from gfwspark import corpus, queries
+    from gfwspark.queries_ml import _corpus_prep_inputs
+    from tests.conftest import SF_SMALL
+
+    audit = (
+        queries.all_queries()["corpus_stage_audit"](spark, SF_SMALL)
+        .toPandas().sort_values("stage_idx").reset_index(drop=True)
+    )
+    assert list(audit["stage"]) == [name for _, name in corpus.STAGES]
+    assert (audit["dropped"] == audit["rows_in"] - audit["rows_out"]).all()
+    # chain continuity
+    assert (
+        audit["rows_in"].iloc[1:].to_numpy()
+        == audit["rows_out"].iloc[:-1].to_numpy()
+    ).all()
+    # every planted gate actually fires; packing is lossless
+    assert (audit.loc[audit["stage_idx"] < 7, "dropped"] > 0).all()
+    assert audit.loc[audit["stage_idx"] == 7, "dropped"].iloc[0] == 0
+    base, bench = _corpus_prep_inputs(spark, SF_SMALL)
+    n_survivors = corpus.prepare_corpus(base, bench).count()
+    assert int(audit["rows_out"].iloc[-1]) == n_survivors
+
+
+def test_ivf_int8_at_rest_partition_pruned(spark, tmp_path):
+    """int8 inverted lists at rest: the persisted lists hold ONLY the
+    smallint vectors (4x smaller), the probe read partition-prunes on
+    cid, and the at-rest top-k equals the in-memory ivf_topk over the
+    same dequantized corpus."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(120, dtype=np.int64),
+            "embedding": [rng.normal(size=8).round(3).tolist() for _ in range(120)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    mins, scales = similarity.quantization_params(df, dim=8)
+    dq = similarity.quantize_embeddings(df, mins, scales).select(
+        "vec_id", "q_embedding",
+        similarity.dequantize_col(mins, scales).alias("embedding"),
+    )
+    cent = similarity.kmeans_fit(dq, k=4, n_iter=2)
+    path = str(tmp_path / "ivf8")
+    similarity.ivf_write(dq, cent, path, store_cols=["q_embedding"])
+
+    stored = spark.read.parquet(path)
+    assert "embedding" not in stored.columns, "float vectors leaked to rest"
+    assert stored.schema["q_embedding"].dataType.simpleString() == "array<smallint>"
+
+    q = dq.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    at_rest = similarity.ivf_topk_at_rest(
+        spark, path, q, cent, k=3, n_probe=2,
+        list_vec=similarity.dequantize_col(mins, scales),
+    )
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters")[1][:200]
+
+    want = (
+        similarity.ivf_topk(dq.drop("q_embedding"), q, cent, k=3, n_probe=2)
+        .toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        at_rest.toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -388,3 +388,70 @@ def test_upsert_schema_evolution(spark, tmp_path):
     import pandas as pd
 
     assert pd.isna(got.loc["e1", "score"])
+
+
+def test_upsert_after_evolution_reads_full_schema(spark, tmp_path):
+    """Once a table holds mixed-schema files, LATER upserts must see
+    the union schema no matter which file Spark's cheap schema
+    inference would have drawn: the sidecar manifest forces a
+    mergeSchema read, so (a) an old-schema batch deterministically
+    RAISES instead of sometimes silently rewriting evolved buckets
+    without the new column, and (b) a full-schema default upsert
+    preserves evolved values in the buckets it rewrites."""
+    import pandas as pd
+    import pytest as _pytest
+
+    path = str(tmp_path / "evo2")
+    ids = [f"e{i}" for i in range(8)]
+    base = spark.createDataFrame(
+        [(i, 1, f"v{i}") for i in ids], "image_id string, seq int, val string"
+    )
+    sources.upsert_partitioned(spark, base, path, keys=["image_id", "seq"], n_buckets=4)
+
+    evolve = spark.createDataFrame(
+        [("e0", 1, "E0", 0.5)], "image_id string, seq int, val string, score double"
+    )
+    sources.upsert_partitioned(
+        spark, evolve, path, keys=["image_id", "seq"], n_buckets=4,
+        allow_schema_evolution=True,
+    )
+    # manifest-aware plain read sees the union schema with no options
+    assert "score" in sources.read_table(spark, path).columns
+
+    # (a) old-schema batch: the evolved column is now load-bearing —
+    # must raise (explicit evolution) rather than depend on which
+    # file won schema inference
+    old_batch = spark.createDataFrame(
+        [("e0", 1, "CLOBBER")], "image_id string, seq int, val string"
+    )
+    with _pytest.raises(ValueError, match="schema"):
+        sources.upsert_partitioned(
+            spark, old_batch, path, keys=["image_id", "seq"], n_buckets=4
+        )
+
+    # (b) full-schema default upsert over a DIFFERENT entity in e0's
+    # bucket: e0's score must survive the bucket rewrite
+    from gfwspark.checkpoint import bucket_of
+
+    buckets = {
+        r["image_id"]: r["b"]
+        for r in spark.createDataFrame([(i,) for i in ids], "image_id string")
+        .select("image_id", bucket_of("image_id", 4).alias("b"))
+        .collect()
+    }
+    same_bucket = next(
+        i for i in ids if i != "e0" and buckets[i] == buckets["e0"]
+    )
+    full_batch = spark.createDataFrame(
+        [(same_bucket, 1, "FULL", 0.9)],
+        "image_id string, seq int, val string, score double",
+    )
+    sources.upsert_partitioned(
+        spark, full_batch, path, keys=["image_id", "seq"], n_buckets=4
+    )
+    got = (
+        sources.read_table(spark, path).toPandas().set_index("image_id")
+    )
+    assert got.loc["e0", "score"] == 0.5, "evolved value lost in bucket rewrite"
+    assert got.loc[same_bucket, "score"] == 0.9
+    assert pd.isna(got.loc["e1", "score"]) or "e1" == same_bucket
