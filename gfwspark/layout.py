@@ -172,7 +172,15 @@ def zorder_table(
     repartitionByRange(zkey) + sortWithinPartitions(zkey) so every
     output file owns a contiguous key range (narrow min/max envelope in
     every dimension).  Returns the per-column boundaries for the
-    caller's lineage record."""
+    caller's lineage record.
+
+    Crash-safe and in-place-capable: the rewrite lands in a temp
+    sibling and atomically swaps in (sources.recover_rewrite /
+    commit_rewrite — compact_table's protocol), so `df` MAY read from
+    `path` itself (the natural OPTIMIZE ZORDER call), and a crash
+    mid-write never destroys the prior contents."""
+    from gfwspark.sources import commit_rewrite, recover_rewrite
+
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
     # ONE exact-quantile pass for all columns (approxQuantile takes a
@@ -182,13 +190,15 @@ def zorder_table(
     buckets = [zorder_bucket(c, bounds[c]) for c in cols]
     keyed = df.withColumn("_zkey", zorder_key(buckets, bits))
     n_files = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    tmp, old = recover_rewrite(path, suffix="._zorder")
     (
         keyed.repartitionByRange(n_files, "_zkey")
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
         .write.mode("overwrite")
-        .parquet(path)
+        .parquet(tmp)
     )
+    commit_rewrite(path, tmp, old)
     return {"boundaries": bounds, "n_files": n_files}
 
 

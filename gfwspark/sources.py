@@ -439,6 +439,47 @@ def upsert_partitioned(
     return {"touched_buckets": touched, "upserted": n_up, "deleted": deleted}
 
 
+def recover_rewrite(path: str, suffix: str) -> tuple[str, str]:
+    """Entry half of the crash-safe in-place rewrite protocol shared
+    by compact_table and layout.zorder_table.  Recover from a previous
+    crashed run before touching anything:
+     - old exists, path missing -> crashed between the two renames:
+       the original table is intact under `old`; put it back.
+     - old exists alongside path -> crashed before cleanup; old is a
+       superseded copy, drop it.
+     - tmp is always an incomplete/stale write at entry; drop it.
+    Returns (tmp, old) for the caller to write into / commit_rewrite."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + suffix + "_tmp"
+    old = path.rstrip("/") + suffix + "_old"
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    return tmp, old
+
+
+def commit_rewrite(path: str, tmp: str, old: str) -> None:
+    """Commit half: atomically swap the completed `tmp` write into
+    `path` (rename is the atomic unit; a crash at any point is healed
+    by the next recover_rewrite).  A `path` that does not exist yet
+    (first write to a new location) is a plain rename."""
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -473,21 +514,7 @@ def compact_table(
                     b += os.path.getsize(os.path.join(root, f))
         return n, b
 
-    tmp = path.rstrip("/") + "._compact_tmp"
-    old = path.rstrip("/") + "._compact_old"
-    # Recover from a previous crashed run before touching anything:
-    #  - old exists, path missing -> crashed between the two renames:
-    #    the original table is intact under `old`; put it back.
-    #  - old exists alongside path -> crashed before cleanup; old is a
-    #    superseded copy, drop it.
-    #  - tmp is always an incomplete/stale write at entry; drop it.
-    if os.path.exists(old):
-        if not os.path.exists(path):
-            os.rename(old, path)
-        else:
-            shutil.rmtree(old)
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    tmp, old = recover_rewrite(path, suffix="._compact")
     files_before, total_bytes = _stats(path)
     n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
     # manifest-aware read: compacting an evolved (mixed-schema) table
@@ -498,9 +525,7 @@ def compact_table(
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(tmp)
     _write_schema_manifest(tmp, out.columns)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    commit_rewrite(path, tmp, old)
     files_after, _ = _stats(path)
     return {
         "files_before": files_before,

@@ -278,12 +278,19 @@ def stream_upsert_sink(
     entity: str = "image_id",
     n_buckets: int = 16,
     checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
 ):
-    """Continuous MERGE ingestion: every micro-batch upserts into the
+    """MERGE ingestion sink: every micro-batch upserts into the
     bucket-partitioned parquet table via sources.upsert_partitioned —
     the streaming CDC sink (Iceberg MERGE-per-commit shape).  Each
     batch rewrites only the bucket directories its keys touch, so
     steady-state ingestion cost tracks batch size, not table size.
+
+    `trigger` is passed through to writeStream.trigger; the default
+    {"availableNow": True} DRAINS THE BACKLOG AND STOPS — the batch
+    catch-up shape, not a long-lived daemon.  For continuous CDC pass
+    e.g. trigger={"processingTime": "30 seconds"} and the query keeps
+    running until stopped.
 
     foreachBatch is the documented idempotency point: availableNow
     replay after a crash re-runs the last uncommitted batch, and the
@@ -302,7 +309,9 @@ def stream_upsert_sink(
             entity=entity, n_buckets=n_buckets, collect_stats=False,
         )
 
-    w = stream.writeStream.foreachBatch(_sink).trigger(availableNow=True)
+    w = stream.writeStream.foreachBatch(_sink).trigger(
+        **(trigger if trigger is not None else {"availableNow": True})
+    )
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()

@@ -263,3 +263,52 @@ def test_entity_stats_roundtrip_feeds_asof_auto(spark, tmp_path):
         .toPandas().sort_values(["image_id", "ts", "event_id"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(want, got, check_dtype=False)
+
+
+def test_zorder_table_in_place_and_crash_recovery(spark, tmp_path):
+    """zorder_table must support the natural OPTIMIZE ZORDER call —
+    df reading from `path` itself — via the write-to-tmp + atomic-swap
+    protocol (a direct mode('overwrite') to the source path would
+    throw or destroy the table), and recover_rewrite must heal a crash
+    that happened between the two renames (old present, path gone)."""
+    import os
+    import shutil
+
+    from gfwspark import layout, tables
+    from gfwspark.sources import recover_rewrite
+
+    ev = tables.load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "z")
+    ev.write.parquet(path)
+    n = ev.count()
+
+    # in-place rewrite: read from path, zorder back into path
+    src = spark.read.parquet(path)
+    layout.zorder_table(src, path, ["user_id", "value"], bits=3, n_files=4)
+    assert spark.read.parquet(path).count() == n
+
+    # crash between renames: path moved aside to old, tmp gone
+    old = path + "._zorder_old"
+    shutil.move(path, old)
+    assert not os.path.exists(path)
+    recover_rewrite(path, suffix="._zorder")
+    assert os.path.exists(path) and not os.path.exists(old)
+    assert spark.read.parquet(path).count() == n
+
+
+def test_recover_rewrite_drops_stale_tmp_and_superseded_old(tmp_path):
+    """Entry recovery: a stale tmp is always dropped; an old alongside
+    an intact path is a superseded copy and is dropped too."""
+    import os
+
+    from gfwspark.sources import recover_rewrite
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    os.makedirs(path + "._x_tmp")
+    os.makedirs(path + "._x_old")
+    tmp, old = recover_rewrite(path, suffix="._x")
+    assert os.path.exists(path)
+    assert not os.path.exists(tmp) and not os.path.exists(old)

@@ -356,3 +356,39 @@ def test_stream_upsert_sink_merges_batches(spark, tmp_path):
         .sort_values(["image_id", "seq"]).reset_index(drop=True)
     )
     assert got.equals(again)
+
+
+def test_stream_upsert_sink_trigger_passthrough(spark, tmp_path):
+    """A processingTime trigger turns the sink into a long-lived CDC
+    daemon: the query stays active after draining the backlog (unlike
+    the availableNow default, which drains and stops) and the merged
+    state is identical."""
+    from gfwspark import streaming
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame(
+        [("e1", 1, "v1"), ("e2", 2, "v2")],
+        "image_id string, seq int, val string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "image_id string, seq int, val string"
+    ).parquet(src)
+    q = streaming.stream_upsert_sink(
+        stream, tbl, keys=["image_id", "seq"],
+        checkpoint_dir=str(tmp_path / "ck"),
+        trigger={"processingTime": "500 milliseconds"},
+    )
+    try:
+        # drains b1 but does NOT terminate: awaitTermination times out
+        assert q.awaitTermination(15) is False
+        assert q.isActive
+        got = (
+            spark.read.parquet(tbl).drop("_bucket").toPandas()
+            .sort_values("image_id").reset_index(drop=True)
+        )
+        assert list(got["image_id"]) == ["e1", "e2"]
+    finally:
+        q.stop()
