@@ -31,6 +31,24 @@ def _d_hash32(x: str) -> str:
     return f"('0x' || substr(md5({x}), 1, 8))::BIGINT"
 
 
+def _gate_scale_pandas(df: DataFrame, cap: int = 200_000):
+    """Materialize a round-trip query's read-back via toPandas, but
+    only at driver-gate scale: the upsert/compact round-trip queries
+    exist to verify an on-disk write path against a closed-form
+    oracle, and their full-table collect is safe ONLY because the gate
+    runs at sf<=0.01.  The cap makes that constraint mechanical — a
+    future migration into a large-sf bench set raises instead of
+    silently collecting the table onto the driver."""
+    n = df.count()
+    if n > cap:
+        raise ValueError(
+            f"gate-scale round-trip query materializes {n} rows > cap "
+            f"{cap}; this query is for the sf<=0.01 correctness gate, "
+            "not large-sf benching"
+        )
+    return df.toPandas()
+
+
 # shingle CTE: k=3 token windows, short docs → whole text, distinct hashes
 _D_SHINGLES = f"""
 SELECT DISTINCT doc_id, {_d_hash32('shingle')} AS sh_hash FROM (
@@ -1486,7 +1504,7 @@ def q_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = spark.read.parquet(path).select("event_id", "user_id", "val")
         # the scratch table is deleted below; materialize before return
-        return spark.createDataFrame(out.toPandas())
+        return spark.createDataFrame(_gate_scale_pandas(out))
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -1516,7 +1534,7 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.read.parquet(path).withColumn(
             "n_files", F.lit(int(r["files_after"])).cast("long")
         )
-        return spark.createDataFrame(out.toPandas())
+        return spark.createDataFrame(_gate_scale_pandas(out))
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

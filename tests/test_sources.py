@@ -455,3 +455,17 @@ def test_upsert_after_evolution_reads_full_schema(spark, tmp_path):
     assert got.loc["e0", "score"] == 0.5, "evolved value lost in bucket rewrite"
     assert got.loc[same_bucket, "score"] == 0.9
     assert pd.isna(got.loc["e1", "score"]) or "e1" == same_bucket
+
+
+def test_gate_scale_pandas_raises_on_oversize(spark):
+    """The round-trip queries' full-table toPandas is legal only at
+    driver-gate scale; the cap turns that convention into a raise."""
+    import pytest
+
+    from gfwspark import queries  # noqa: F401  (registry init order)
+    from gfwspark.queries_ml import _gate_scale_pandas
+
+    df = spark.range(500)
+    assert len(_gate_scale_pandas(df, cap=1000)) == 500
+    with pytest.raises(ValueError, match="gate-scale"):
+        _gate_scale_pandas(df, cap=100)
