@@ -54,6 +54,10 @@ HEADLINE = [
     # added round 5: the composed corpus-prep flagship
     "llm_corpus_prep",
     "ann_brute_topk_arrow",
+    # added round 6: zero-copy window refs (vs sliding_windows'
+    # materialized form — the per-round delta shows the amplification
+    # saving at driver-bench scale)
+    "sliding_window_refs",
 ]
 
 
@@ -313,13 +317,20 @@ def _flagship_throughput(sf_dir: str, cpus: int, rep: int) -> dict:
             "images_per_sec": round(n_rows / best, 1)}
 
 
-def _w1m_throughput(cpus: int, n_rows: int) -> dict:
+def _w1m_throughput(
+    cpus: int, n_rows: int, window_size: int = 12800, refs: bool = False
+) -> dict:
     """W1m block-assembled extraction throughput at one parallelism:
     sliding_feature_windows at the reference production geometry
     (W=12800, shift=767) over a deterministic synthetic series.  The
     second job class for the two-cluster-size criterion — shuffle +
     object aggregation bound, unlike the flagship's window-scan
-    profile."""
+    profile.  `window_size` varies the byte amplification (W/shift:
+    1.3x at W=1024, 16.7x at W=12800) and `refs=True` runs the
+    zero-copy sliding_feature_window_refs form — together the two
+    knobs isolate whether the sub-0.8 scaling efficiency at production
+    geometry is the flattened-copy byte traffic (amplification-
+    dependent) or the window enumeration itself (it isn't)."""
     import pyspark.sql.functions as F
 
     from gfwspark import windows as W
@@ -344,9 +355,14 @@ def _w1m_throughput(cpus: int, n_rows: int) -> dict:
     )
 
     def job():
-        _materialize(
-            W.sliding_feature_windows(df, "v", window_size=12800, shift=767)
-        )
+        if refs:
+            _materialize(
+                W.sliding_feature_window_refs(df, window_size=window_size, shift=767)
+            )
+        else:
+            _materialize(
+                W.sliding_feature_windows(df, "v", window_size=window_size, shift=767)
+            )
 
     job()  # warm
     runs = []
@@ -415,7 +431,43 @@ def main() -> None:
     if "--scaling-worker-w1m" in sys.argv:
         i = sys.argv.index("--scaling-worker-w1m")
         cpus, n_rows = int(sys.argv[i + 1]), int(sys.argv[i + 2])
-        print(json.dumps(_w1m_throughput(cpus, n_rows)))
+        tail = sys.argv[i + 3 :]
+        wsz = int(tail[0]) if tail and tail[0].isdigit() else 12800
+        print(json.dumps(_w1m_throughput(cpus, n_rows, wsz, refs="refs" in tail)))
+        return
+    if "--w1m-sweep" in sys.argv:
+        # Amplification isolation (r5 verdict item 6): the SAME 12.8M-row
+        # input and enumeration at three byte amplifications (W/767) plus
+        # the zero-copy refs form; if efficiency recovers as
+        # amplification shrinks, the W=12800 ceiling is the flattened
+        # copies' DRAM traffic, measured rather than argued.
+        jobs = [
+            ("W1024", 1024, False), ("W3200", 3200, False),
+            ("W12800", 12800, False), ("W12800_refs", 12800, True),
+        ]
+        best: dict[tuple, dict] = {}
+        for _ in range(2):  # interleaved sessions, minima
+            for name, wsz, refs in jobs:
+                for cpus in (2, 8):
+                    argv = [sys.executable, __file__, "--scaling-worker-w1m",
+                            str(cpus), "12800000", str(wsz)] + (
+                                ["refs"] if refs else [])
+                    out = subprocess.run(
+                        argv, capture_output=True, text=True, check=True)
+                    r = json.loads(out.stdout.strip().splitlines()[-1])
+                    k = (name, cpus)
+                    if k not in best or r["sec"] < best[k]["sec"]:
+                        best[k] = r
+        report = {}
+        for name, wsz, refs in jobs:
+            lo, hi = best[(name, 2)], best[(name, 8)]
+            report[name] = {
+                "amplification": round(wsz / 767, 2),
+                "sec_2c": lo["sec"], "sec_8c": hi["sec"],
+                "efficiency_2_to_8": round(
+                    hi["images_per_sec"] / (4 * lo["images_per_sec"]), 3),
+            }
+        print(json.dumps(report))
         return
     if "--scaling-worker" in sys.argv:
         i = sys.argv.index("--scaling-worker")
@@ -519,10 +571,7 @@ via conditional element_at) at the reference production geometry
 W=12800 / shift=767 over 12.8M synthetic rows x 512 entities —
 shuffle + object-aggregation bound, a different profile from the
 flagship's window scan.  The split-ts change cut wall time ~40% at
-both core counts (8-core throughput 1.67M -> ~3.5M images/sec); the
-remaining sub-0.8 efficiency is the same single-box DRAM ceiling as
-the 8->32 pair — the output itself is a W/shift (~16.7x) byte
-amplification that a multi-node cluster spreads across nodes:
+both core counts (8-core throughput 1.67M -> ~3.5M images/sec):
 
 | parallelism | rows | best s | all runs (s) | images/sec |
 |---|---|---|---|---|
@@ -530,6 +579,24 @@ amplification that a multi-node cluster spreads across nodes:
 {row(w['hi']) if w else ''}
 
 **W1m scaling efficiency (N -> 4N): {w['efficiency'] if w else 'n/a'}.**
+
+Sub-0.8 draws of this pair were attributed through r5 to the W/shift
+(~16.7x at production geometry) flattened-copy byte amplification.
+The round-6 amplification sweep (`bench.py --w1m-sweep`, table in
+BENCH/HISTORY.md) MEASURED that attribution and refuted it:
+efficiency RISES with W (0.678 at W=1024 / ampl 1.3x -> 0.863 at
+W=12800 / ampl 16.7x — production geometry CLEARS the 0.8 target in
+the controlled sweep), 8-core wall time is flat across W (~4.3-4.4 s),
+and the zero-copy refs form (sliding_feature_window_refs: same
+enumeration, no amplified value bytes, 1.3-1.7x faster absolute)
+scales at 0.674.  The scaling floor is therefore the W-INDEPENDENT
+block-build stage (row_number + sort + collect_list object aggregation
+over every input row — its cost does not shrink per-core as cleanly),
+while the W-proportional assemble work parallelizes near-linearly and
+lifts the blended efficiency as W grows.  At 100 TB the remedy is
+layout, not window geometry: build stride_blocks once at rest
+(bucketed by entity) and amortize the block-build floor across every
+window job that reads it.
 
 ## How the job was made scale-clean (each step measured)
 

@@ -120,6 +120,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # rotated out for round 6 (all r5 driver-green, unchanged code, local
 # parity coverage retained): the r5 debut/refresh family — they
 # follow in registration order.
+#
+# DEFERRED DEBUT (explicit, per the r5 ADVICE convention): the window
+# above was already exactly full (3 never-gated + 2 debut + 2
+# changed-code + 43 r4-stale = 50) when `sliding_window_refs` was
+# registered mid-r6; it ships this round with its DuckDB oracle
+# (replayed dtype-strict by tests/test_oracle_parity.py every session)
+# plus the golden reconstruction-equality test, and is FIRST in line
+# for the r7 driver window.
 
 
 def _ordered(mapping: dict) -> dict:

@@ -769,6 +769,58 @@ def q_sliding_feature_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# W1 refs form: the same window index set as sliding_feature_windows,
+# but emitted as zero-copy references (row-number + stride-block
+# addresses into windows.stride_blocks) instead of flattened W-element
+# copies — the shape that avoids the W/shift byte amplification at
+# 100 TB.  Golden reconstruction equality in test_engine_golden.py.
+# ---------------------------------------------------------------------
+
+_SWR_ORACLE = f"""
+WITH f AS (
+  SELECT user_id, ts,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+anchors AS (
+  SELECT user_id, rn AS end_rn, ts AS win_end_ts FROM f
+  WHERE (n - rn) % {_SFW_SHIFT} = 0 AND rn >= {_SFW_W}
+)
+SELECT a.user_id, a.win_end_ts, s.ts AS win_start_ts,
+  cast({_SFW_W} AS int) AS n_points,
+  cast(a.end_rn - {_SFW_W - 1} AS bigint) AS win_start_rn,
+  cast(a.end_rn AS bigint) AS win_end_rn,
+  cast((a.end_rn - {_SFW_W}) // {_SFW_SHIFT} AS bigint) AS blk_lo,
+  cast((a.end_rn - 1) // {_SFW_SHIFT} AS bigint) AS blk_hi
+FROM anchors a
+JOIN f s ON s.user_id = a.user_id AND s.rn = a.end_rn - {_SFW_W - 1}
+"""
+
+
+@register("sliding_window_refs", _SWR_ORACLE)
+def q_sliding_window_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events")
+    r = windows.sliding_feature_window_refs(
+        ev.select("user_id", "ts"),
+        window_size=_SFW_W,
+        shift=_SFW_SHIFT,
+        entity="user_id",
+        ts="ts",
+    )
+    return r.select(
+        "user_id",
+        "win_end_ts",
+        "win_start_ts",
+        F.col("n_points").cast("int").alias("n_points"),
+        F.col("win_start_rn").cast("long").alias("win_start_rn"),
+        F.col("win_end_rn").cast("long").alias("win_end_rn"),
+        F.col("blk_lo").cast("long").alias("blk_lo"),
+        F.col("blk_hi").cast("long").alias("blk_hi"),
+    )
+
+
+# ---------------------------------------------------------------------
 # W1 large-window scalarized form: O(n) running-sum difference instead
 # of Spark's O(W)-per-row bounded frame — the path for the reference's
 # production window geometry (window_max_points = 12800,

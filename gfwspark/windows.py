@@ -387,6 +387,154 @@ def sliding_feature_windows(
     )
 
 
+def stride_blocks(
+    df: DataFrame,
+    feature_col: str | list[str],
+    shift: int,
+    entity: str = "image_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """The shared block table behind the refs form of the sliding
+    extractor: one row per (entity, block_id) holding the stride-sized
+    ordered value slice (block k = rows with (row_number-1) div shift
+    == k) and its timestamps.  Written once — e.g. bucketed by entity
+    via layout.write_bucketed — it serves EVERY window of any W that
+    steps by `shift`: a window [lo, end] (1-based row numbers) is
+    reconstructed by slicing blocks floor((lo-1)/shift) ..
+    floor((end-1)/shift), which is what sliding_feature_window_refs'
+    output addresses."""
+    S = shift
+    multi = isinstance(feature_col, (list, tuple))
+    if multi:
+        val_expr = F.array(*[F.col(c).cast("double") for c in feature_col]).alias("_val")
+    else:
+        val_expr = F.col(feature_col).alias("_val")
+    w_order = Window.partitionBy(entity).orderBy("_ts")
+    rows = df.select(F.col(entity), F.col(ts).alias("_ts"), val_expr).select(
+        "*", F.row_number().over(w_order).alias("_rn")
+    )
+    return (
+        rows.withColumn("_blk", F.floor((F.col("_rn") - 1) / S))
+        .groupBy(entity, "_blk")
+        .agg(F.expr("sort_array(collect_list(struct(_rn, _val, _ts)))").alias("_s"))
+        .select(
+            entity,
+            F.col("_blk").alias("block_id"),
+            F.expr("transform(_s, x -> x._val)").alias("values"),
+            F.expr("transform(_s, x -> x._ts)").alias("ts_arr"),
+        )
+    )
+
+
+def sliding_feature_window_refs(
+    df: DataFrame,
+    window_size: int,
+    shift: int,
+    entity: str = "image_id",
+    ts: str = "ts",
+    min_points: int | None = None,
+) -> DataFrame:
+    """The ZERO-COPY form of sliding_feature_windows: the same window
+    index set (anchor rule: row i hosts a window iff (n-i) % shift == 0
+    and i >= window_size), but each output row is a window REFERENCE —
+    (entity, win_end_ts, win_start_ts, n_points, win_start_rn,
+    win_end_rn, blk_lo, blk_hi) — not a flattened W-element copy.
+
+    Why this exists at 100 TB: materializing overlapping windows
+    amplifies bytes by exactly W/shift (16.7x at the reference
+    production geometry W=12800/shift=767) through the shuffle, the
+    object aggregate, and the sink.  When the consumer streams windows
+    block-locally (a training-data loader assembling tensors, a
+    per-window reduction), ship the stride_blocks() table once and the
+    refs frame instead: a window is blocks blk_lo..blk_hi sliced to
+    [win_start_rn, win_end_rn] (block k holds row numbers k*shift+1 ..
+    k*shift+len).  tests/test_windows_golden.py proves refs ⋈ blocks
+    reconstructs the materialized output bit-identically.
+
+    Plan: identical block/anchor enumeration to the materialized form
+    (one entity exchange), but the explode fan-out carries ONLY
+    scalars + the <=2 endpoint-masked ts arrays — the W/shift value
+    amplification never happens."""
+    W, S = window_size, shift
+    w_order = Window.partitionBy(entity).orderBy("_ts")
+    rows = df.select(F.col(entity), F.col(ts).alias("_ts")).select(
+        "*", F.row_number().over(w_order).alias("_rn")
+    )
+    blocks = (
+        rows.withColumn("_blk", F.floor((F.col("_rn") - 1) / S))
+        .groupBy(entity, "_blk")
+        .agg(F.expr("sort_array(collect_list(struct(_rn, _ts)))").alias("_s"))
+        .select(entity, "_blk", F.expr("transform(_s, x -> x._ts)").alias("_tss"))
+    )
+    blocks = blocks.withColumn(
+        "_n", F.sum(F.size("_tss")).over(Window.partitionBy(entity))
+    )
+    if min_points is not None:
+        blocks = blocks.filter(F.col("_n") >= min_points)
+    # same closed-form j-range as sliding_feature_windows (size(_tss)
+    # == size(_arr): one element per source row either way)
+    lo_rn = F.col("_blk") * S + 1
+    hi_rn = F.col("_blk") * S + F.size("_tss")
+    j_hi = F.floor((F.col("_n") - F.greatest(lo_rn, F.lit(W).cast("long"))) / S)
+    j_lo = F.greatest(
+        F.lit(0).cast("long"),
+        -F.floor((hi_rn + F.lit(W - 1) - F.col("_n")) / S),
+    )
+    win_blocks = (
+        blocks.select(
+            entity, "_blk", "_tss", "_n",
+            j_lo.alias("_jlo"), j_hi.alias("_jhi"),
+        )
+        .filter(F.col("_jhi") >= F.col("_jlo"))
+        .select(
+            entity, "_blk", "_tss", "_n",
+            F.explode(F.sequence("_jlo", "_jhi")).alias("_j"),
+        )
+        .select(
+            entity, "_blk", "_tss",
+            (F.col("_n") - F.col("_j") * S).alias("_arn"),
+        )
+        .withColumn("_lo", F.col("_arn") - F.lit(W - 1))
+        .withColumn(
+            "_tss",
+            F.when(
+                (
+                    (F.col("_arn") >= F.col("_blk") * S + 1)
+                    & (F.col("_arn") <= F.col("_blk") * S + F.size("_tss"))
+                )
+                | (
+                    (F.col("_lo") >= F.col("_blk") * S + 1)
+                    & (F.col("_lo") <= F.col("_blk") * S + F.size("_tss"))
+                ),
+                F.col("_tss"),
+            ),
+        )
+    )
+    ts_at = (
+        "max(CASE WHEN _tss IS NOT NULL"
+        " AND {rn} >= _blk * CAST_S + 1"
+        " AND {rn} <= _blk * CAST_S + CAST(size(_tss) AS bigint)"
+        " THEN element_at(_tss, int({rn} - _blk * CAST_S)) END)"
+    ).replace("CAST_S", f"CAST({S} AS bigint)")
+    return (
+        win_blocks.groupBy(entity, "_arn", "_lo")
+        .agg(
+            F.expr(ts_at.format(rn="_arn")).alias("win_end_ts"),
+            F.expr(ts_at.format(rn="_lo")).alias("win_start_ts"),
+        )
+        .select(
+            F.col(entity),
+            "win_end_ts",
+            "win_start_ts",
+            F.lit(W).alias("n_points"),  # full windows only, by the anchor rule
+            F.col("_lo").alias("win_start_rn"),
+            F.col("_arn").alias("win_end_rn"),
+            F.floor((F.col("_lo") - 1) / S).alias("blk_lo"),
+            F.floor((F.col("_arn") - 1) / S).alias("blk_hi"),
+        )
+    )
+
+
 # ------------------------------------------------------------------
 # Repeat-pad backfill (reference W5, np_pad_repeat_slice
 # feature_utilities.py:26-45): tile a short series until it reaches

@@ -910,3 +910,41 @@ def test_cogroup_coarse_buckets_equal_including_nulls(spark, img_df, ann_df):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(want, got[want.columns], check_dtype=False)
+
+
+def test_sliding_window_refs_reconstruct(img_df, img_pdf):
+    """The zero-copy refs form must carry the SAME window index set /
+    ts endpoints as the materialized form, and refs ⋈ stride_blocks
+    must reconstruct every materialized window bit-identically (the
+    claim that lets a 100 TB consumer skip the W/shift byte
+    amplification)."""
+    import pandas as pd
+
+    W_, S_ = 8, 3
+    mat = windows.sliding_feature_windows(
+        img_df, "phash", window_size=W_, shift=S_
+    ).toPandas()
+    refs = windows.sliding_feature_window_refs(
+        img_df, window_size=W_, shift=S_
+    ).toPandas()
+    blocks = windows.stride_blocks(img_df, "phash", shift=S_).toPandas()
+
+    key = ["image_id", "win_end_ts", "win_start_ts", "n_points"]
+    pd.testing.assert_frame_equal(
+        mat[key].sort_values(key).reset_index(drop=True),
+        refs[key].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    mat_ix = mat.set_index(["image_id", "win_end_ts"])
+    for _, r in refs.iterrows():
+        bl = blocks[
+            (blocks.image_id == r.image_id)
+            & (blocks.block_id >= r.blk_lo)
+            & (blocks.block_id <= r.blk_hi)
+        ].sort_values("block_id")
+        flat = [v for arr in bl["values"] for v in arr]
+        base = int(bl["block_id"].iloc[0]) * S_  # flat[i] has rn base+i+1
+        got = flat[int(r.win_start_rn) - base - 1 : int(r.win_end_rn) - base]
+        want = list(mat_ix.loc[(r.image_id, r.win_end_ts)].features)
+        assert got == want, (r.image_id, r.win_end_rn)
