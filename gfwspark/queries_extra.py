@@ -798,6 +798,38 @@ JOIN f s ON s.user_id = a.user_id AND s.rn = a.end_rn - {_SFW_W - 1}
 """
 
 
+@register("windows_from_blocks", _SFW_ORACLE)
+def q_windows_from_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same window semantics as `sliding_feature_windows` (same oracle)
+    but through the decomposed at-rest path: stride_blocks ->
+    windows_from_stride_blocks — the assemble stage that runs with
+    ZERO Exchange over a bucketed blocks table
+    (tests/test_layout.py pins the plan; here the blocks are built
+    in-line so the driver gate checks the value contract)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    blocks = windows.stride_blocks(
+        ev.select("user_id", "ts", "value"), "value", shift=_SFW_SHIFT,
+        entity="user_id", ts="ts",
+    )
+    w = windows.windows_from_stride_blocks(
+        blocks, window_size=_SFW_W, shift=_SFW_SHIFT, entity="user_id"
+    )
+    return w.select(
+        "user_id",
+        "win_end_ts",
+        "win_start_ts",
+        F.col("n_points").cast("int").alias("n_points"),
+        F.posexplode("features").alias("pos", "feature"),
+    ).select(
+        "user_id",
+        "win_end_ts",
+        "win_start_ts",
+        "n_points",
+        F.col("pos").cast("int").alias("pos"),
+        "feature",
+    )
+
+
 @register("sliding_window_refs", _SWR_ORACLE)
 def q_sliding_window_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load_table(spark, sf_dir, "events")

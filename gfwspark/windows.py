@@ -291,6 +291,48 @@ def sliding_feature_windows(
     # one exchange (a join against a separately-derived anchor frame
     # would duplicate the fact shuffle: column pruning makes the two
     # subtrees physically different and defeats ReuseExchange).
+    return _assemble_windows(blocks, W, S, entity, min_points)
+
+
+def windows_from_stride_blocks(
+    blocks: DataFrame,
+    window_size: int,
+    shift: int,
+    entity: str = "image_id",
+    min_points: int | None = None,
+) -> DataFrame:
+    """Materialize sliding windows FROM an at-rest stride_blocks table
+    (schema: entity, block_id, values, ts_arr — what stride_blocks()
+    emits), skipping the per-row block-build stage entirely.
+
+    This is the 100 TB shape the --w1m-sweep measurement points at:
+    the sweep showed the scaling floor of the one-shot extractor is
+    the W-INDEPENDENT block build (row_number + collect_list over
+    every input row), not the W/shift assemble amplification.  Persist
+    stride_blocks ONCE — layout.write_bucketed(..., [entity], n) — and
+    every window job over it (any W stepping by the same shift) reads
+    pre-grouped blocks whose bucketed scan already provides
+    hashpartitioning(entity): the whole materialization then plans
+    with ZERO Exchange (pinned in tests/test_layout.py), amortizing
+    the floor across consumers exactly like the bucketed as-of."""
+    b = blocks.select(
+        F.col(entity),
+        F.col("block_id").alias("_blk"),
+        F.col("values").alias("_arr"),
+        F.col("ts_arr").alias("_tss"),
+    )
+    return _assemble_windows(b, window_size, shift, entity, min_points)
+
+
+def _assemble_windows(
+    blocks: DataFrame, W: int, S: int, entity: str, min_points: int | None
+) -> DataFrame:
+    """Shared assemble stage: stride blocks (entity, _blk, _arr, _tss)
+    -> materialized windows.  Every operation needs only
+    ClusteredDistribution(entity), so whatever partitioning the blocks
+    arrive with (the row-stage exchange in sliding_feature_windows, or
+    a bucketed scan in windows_from_stride_blocks) is reused
+    throughout — this stage itself adds zero exchanges."""
     blocks = blocks.withColumn(
         "_n", F.sum(F.size("_arr")).over(Window.partitionBy(entity))
     )

@@ -312,3 +312,48 @@ def test_recover_rewrite_drops_stale_tmp_and_superseded_old(tmp_path):
     tmp, old = recover_rewrite(path, suffix="._x")
     assert os.path.exists(path)
     assert not os.path.exists(tmp) and not os.path.exists(old)
+
+
+def test_stride_blocks_at_rest_zero_shuffle_windows(spark):
+    """The at-rest answer to the W1m block-build floor (the measured
+    scaling limiter, BENCH/HISTORY.md r6 sweep): stride_blocks written
+    bucketed by entity, then windows_from_stride_blocks over the
+    bucketed read — the whole window materialization plans with ZERO
+    Exchange, and the output equals the one-shot
+    sliding_feature_windows on the original rows exactly."""
+    import shutil
+    from urllib.parse import urlparse
+
+    import pandas as pd
+
+    from gfwspark import tables, windows
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql("DROP TABLE IF EXISTS zb_blocks")
+    shutil.rmtree(f"{wh}/zb_blocks", ignore_errors=True)
+
+    img = tables.image_caption_from_events(spark, "/root/testdata/sf0.001").select(
+        "image_id", "ts", "phash"
+    )
+    W_, S_ = 8, 3
+    blocks = windows.stride_blocks(img, "phash", shift=S_)
+    layout.write_bucketed(
+        blocks, "zb_blocks", ["image_id"], 4, sort_cols=["image_id", "block_id"]
+    )
+    out = windows.windows_from_stride_blocks(
+        spark.table("zb_blocks"), window_size=W_, shift=S_
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+
+    key = ["image_id", "win_end_ts"]
+    want = (
+        windows.sliding_feature_windows(img, "phash", window_size=W_, shift=S_)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    got = out.toPandas().sort_values(key).reset_index(drop=True)
+    assert want[key + ["win_start_ts", "n_points"]].equals(
+        got[key + ["win_start_ts", "n_points"]]
+    )
+    for a, b in zip(want.features, got.features):
+        assert list(a) == list(b)
