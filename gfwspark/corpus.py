@@ -73,20 +73,29 @@ def _stage_frames(
 ) -> list[DataFrame]:
     """The pipeline, one frame per completed stage (len == 7, indexed
     by STAGES order).  ``materialize_stages`` additionally
-    localCheckpoints the post-dedup stage outputs (4-6) so an audit
-    that counts every stage touches each subtree exactly once — the
-    production audit configuration; without it the stages stay one
-    lazy plan."""
+    localCheckpoints the per-stage outputs (1-6; 7 reuses 6's block)
+    so an audit that counts every stage touches each subtree exactly
+    once and each stage builds from its predecessor's materialized
+    blocks — the production audit configuration; without it the stages
+    stay one lazy plan."""
     frames: list[DataFrame] = []
     d = docs
     # 1-2: row-local quality + repetition gates (no shuffle)
     d = text.with_quality_score(d, text_col).filter(
         F.col("quality") >= quality_min
     )
+    if materialize_stages:
+        # without this, the audit's n1/n2 counts re-run the raw-corpus
+        # scan + gates that the stage-3 build also runs; checkpointing
+        # here also lets every later stage read from this block instead
+        # of rescanning the source
+        d = d.localCheckpoint(eager=True)
     frames.append(d)
     d = text.with_repetition_stats(d, text_col, ns=(2,)).filter(
         F.col("dup_2gram_frac") <= max_dup_2gram
     )
+    if materialize_stages:
+        d = d.localCheckpoint(eager=True)
     frames.append(d)
     # 3: exact dedup — keep the smallest id per content hash
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))

@@ -178,9 +178,30 @@ def zorder_table(
     sibling and atomically swaps in (sources.recover_rewrite /
     commit_rewrite — compact_table's protocol), so `df` MAY read from
     `path` itself (the natural OPTIMIZE ZORDER call), and a crash
-    mid-write never destroys the prior contents."""
-    from gfwspark.sources import commit_rewrite, recover_rewrite
+    mid-write never destroys the prior contents.  For a table that has
+    EVOLVED (mixed-schema files + sidecar manifest), build `df` with
+    sources.read_table — a plain spark.read.parquet infers the schema
+    from one arbitrary file; the guard below refuses to rewrite with
+    fewer columns than the manifest records (which would permanently
+    drop the evolved columns' values)."""
+    import os
 
+    from gfwspark.sources import (
+        _read_schema_manifest,
+        _write_schema_manifest,
+        commit_rewrite,
+        recover_rewrite,
+    )
+
+    if os.path.exists(path):
+        man = _read_schema_manifest(path)
+        if man is not None and not set(man) <= set(df.columns):
+            raise ValueError(
+                f"zorder_table input is missing manifest columns "
+                f"{sorted(set(man) - set(df.columns))} recorded for {path}; "
+                "read the table via sources.read_table so the rewrite "
+                "keeps the evolved schema"
+            )
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
     # ONE exact-quantile pass for all columns (approxQuantile takes a
@@ -198,6 +219,7 @@ def zorder_table(
         .write.mode("overwrite")
         .parquet(tmp)
     )
+    _write_schema_manifest(tmp, [c for c in df.columns])
     commit_rewrite(path, tmp, old)
     return {"boundaries": bounds, "n_files": n_files}
 

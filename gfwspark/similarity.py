@@ -566,7 +566,13 @@ def ivf_topk_at_rest(
     The probed-cid collect is bounded by the centroid count (distinct
     probed cids <= n_centroids, itself driver-materialized by
     kmeans_fit), never by corpus or query cardinality."""
-    probes = ivf_probes(queries, centroids, n_probe, q_id_col, vec_col)
+    # eager: the probe frame's lineage (query projection + centroid
+    # crossJoin + window) would otherwise evaluate twice — once for the
+    # cid collect, again uncached inside the broadcast join.  Bounded
+    # at <= |Q| * n_probe rows.
+    probes = ivf_probes(
+        queries, centroids, n_probe, q_id_col, vec_col
+    ).localCheckpoint(eager=True)
     cids = sorted(
         r["cid"] for r in probes.select("cid").distinct().collect()
     )

@@ -324,20 +324,33 @@ def _read_schema_manifest(path: str) -> list[str] | None:
 
 
 def _write_schema_manifest(path: str, columns: list[str]) -> None:
+    # tmp + atomic rename: a crash mid-dump must not leave a truncated
+    # manifest (which would turn every later read_table into a
+    # JSONDecodeError — the sidecar must be as crash-safe as the
+    # rewrite protocol it guards)
     import json
     import os
 
-    with open(os.path.join(path, _SCHEMA_MANIFEST), "w") as f:
+    p = os.path.join(path, _SCHEMA_MANIFEST)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"columns": sorted(columns)}, f)
+    os.replace(tmp, p)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, path: str, force_merge: bool = False
+) -> DataFrame:
     """Read a managed parquet table with its COMPLETE schema: if the
     schema manifest says the cheap (first-file-schema) read is missing
     columns — i.e. the table has evolved and the inferred schema came
     from a pre-evolution file — re-read with mergeSchema.  The
     footer-scan cost is paid only when the table actually holds mixed
-    schemas, never on the hot path."""
+    schemas, never on the hot path.  ``force_merge`` skips the
+    manifest heuristic and always merges — for tables whose schema
+    history is unknown (no manifest)."""
+    if force_merge:
+        return spark.read.option("mergeSchema", "true").parquet(path)
     df = spark.read.parquet(path)
     manifest = _read_schema_manifest(path)
     if manifest is not None and not set(manifest) <= set(df.columns):
@@ -400,7 +413,13 @@ def upsert_partitioned(
         # columns (permanent data loss).  The footer-scan cost is paid
         # only on genuinely mixed tables; the hot path (uniform schema,
         # streaming per-batch upserts) keeps the cheap first-file read.
-        existing = read_table(spark, path).filter(F.col("_bucket").isin(touched))
+        # A table WITHOUT a manifest has an unknown schema history
+        # (created before the sidecar existed, or by a plain parquet
+        # write): force mergeSchema once — this upsert then writes the
+        # manifest and the cheap path resumes.
+        existing = read_table(
+            spark, path, force_merge=_read_schema_manifest(path) is None
+        ).filter(F.col("_bucket").isin(touched))
         new_cols = set(b.columns) - set(existing.columns)
         lost_cols = set(existing.columns) - set(b.columns) - {"_bucket"}
         if (new_cols or lost_cols) and not allow_schema_evolution:
@@ -426,6 +445,14 @@ def upsert_partitioned(
     else:
         out = b
     out = out.localCheckpoint(eager=True)
+    if os.path.exists(path):
+        # manifest BEFORE the data write: a crash mid-write leaves
+        # mixed-schema buckets, and the already-updated manifest makes
+        # read_table take the mergeSchema path (a manifest column not
+        # yet in any file only costs a conservative footer scan; the
+        # reverse ordering would let the cheap old-file read pass the
+        # manifest check and reopen the evolved-column loss)
+        _write_schema_manifest(path, out.columns)
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -435,6 +462,7 @@ def upsert_partitioned(
     # record the now-authoritative column set so every later read —
     # including a default (non-evolving) upsert's — sees the full
     # schema even while untouched buckets still hold old-schema files
+    # (idempotent re-write covers the fresh-table branch above)
     _write_schema_manifest(path, out.columns)
     return {"touched_buckets": touched, "upserted": n_up, "deleted": deleted}
 
@@ -520,10 +548,20 @@ def compact_table(
     # manifest-aware read: compacting an evolved (mixed-schema) table
     # must rewrite the union schema, not one arbitrary file's
     df = read_table(spark, path)
-    out = df.repartition(n_out)
+    # a bucket-partitioned upsert table (_bucket=k/ dirs) must keep its
+    # layout: a flat rewrite would leave root-level files that collide
+    # with the next upsert's partition dirs ("conflicting directory
+    # structures") and break its partition-pruned bucket rewrites.
+    # Clustering the repartition by _bucket keeps each bucket's rows in
+    # few output partitions, so partitionBy emits ~1 file per bucket.
+    bucketed = "_bucket" in df.columns
+    out = df.repartition(n_out, "_bucket") if bucketed else df.repartition(n_out)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
-    out.write.mode("overwrite").parquet(tmp)
+    w = out.write.mode("overwrite")
+    if bucketed:
+        w = w.partitionBy("_bucket")
+    w.parquet(tmp)
     _write_schema_manifest(tmp, out.columns)
     commit_rewrite(path, tmp, old)
     files_after, _ = _stats(path)

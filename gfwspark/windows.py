@@ -490,7 +490,8 @@ def sliding_feature_window_refs(
     per-window reduction), ship the stride_blocks() table once and the
     refs frame instead: a window is blocks blk_lo..blk_hi sliced to
     [win_start_rn, win_end_rn] (block k holds row numbers k*shift+1 ..
-    k*shift+len).  tests/test_windows_golden.py proves refs ⋈ blocks
+    k*shift+len).  tests/test_engine_golden.py
+    (test_sliding_window_refs_reconstruct) proves refs ⋈ blocks
     reconstructs the materialized output bit-identically.
 
     Plan: identical block/anchor enumeration to the materialized form

@@ -469,3 +469,91 @@ def test_gate_scale_pandas_raises_on_oversize(spark):
     assert len(_gate_scale_pandas(df, cap=1000)) == 500
     with pytest.raises(ValueError, match="gate-scale"):
         _gate_scale_pandas(df, cap=100)
+
+
+def test_compact_preserves_bucket_partition_layout(spark, tmp_path):
+    """Compacting a bucket-partitioned upsert table must keep the
+    _bucket=k/ directory layout — a flat rewrite leaves root-level
+    files that collide with the next upsert's partition dirs and break
+    its partition-pruned bucket rewrites."""
+    import os
+
+    from gfwspark import sources
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(f"e{i}", i, float(i)) for i in range(200)],
+        "image_id string, seq int, val double",
+    )
+    sources.upsert_partitioned(
+        spark, df, path, keys=["image_id"], n_buckets=8, collect_stats=False
+    )
+    sources.compact_table(spark, path, target_mb=1024)
+    # layout intact: only _bucket=k/ dirs at the root, no loose files
+    entries = [e for e in os.listdir(path) if not e.startswith(("_", "."))]
+    buckets = [e for e in os.listdir(path) if e.startswith("_bucket=")]
+    assert buckets and not entries, (buckets, entries)
+    # and the next upsert still works against the compacted table
+    up = spark.createDataFrame(
+        [("e0", 0, 999.0), ("zz", 1, -1.0)],
+        "image_id string, seq int, val double",
+    )
+    sources.upsert_partitioned(
+        spark, up, path, keys=["image_id"], n_buckets=8, collect_stats=False
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == 201
+    got = {r["image_id"]: r["val"] for r in back.collect()}
+    assert got["e0"] == 999.0 and got["zz"] == -1.0
+
+
+def test_upsert_merges_schema_on_manifestless_mixed_table(spark, tmp_path):
+    """A legacy mixed-schema table WITHOUT a manifest (created before
+    the sidecar existed) must be read with mergeSchema by the upsert's
+    compatibility check — otherwise an old-schema first-file draw
+    would silently rewrite touched buckets without the evolved
+    column."""
+    from gfwspark import sources
+    from gfwspark.checkpoint import bucket_of
+
+    path = str(tmp_path / "legacy")
+    old = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "image_id string, val double"
+    ).withColumn("_bucket", bucket_of("image_id", 4))
+    old.write.partitionBy("_bucket").parquet(path)
+    evolved = spark.createDataFrame(
+        [("c", 3.0, "X")], "image_id string, val double, extra string"
+    ).withColumn("_bucket", bucket_of("image_id", 4))
+    evolved.write.mode("append").partitionBy("_bucket").parquet(path)
+    assert sources._read_schema_manifest(path) is None
+
+    up = spark.createDataFrame(
+        [("a", 10.0, "Y")], "image_id string, val double, extra string"
+    )
+    sources.upsert_partitioned(
+        spark, up, path, keys=["image_id"], n_buckets=4,
+        collect_stats=False, allow_schema_evolution=True,
+    )
+    back = sources.read_table(spark, path)
+    assert "extra" in back.columns
+    got = {r["image_id"]: (r["val"], r["extra"]) for r in back.collect()}
+    assert got["a"] == (10.0, "Y")
+    assert got["c"] == (3.0, "X")  # evolved value survived the rewrite
+
+
+def test_zorder_refuses_schema_dropping_rewrite(spark, tmp_path):
+    """zorder_table must refuse a df missing columns the table's
+    manifest records — rewriting with the narrower schema would
+    permanently drop the evolved columns' values."""
+    import pytest
+
+    from gfwspark import layout, sources
+
+    path = str(tmp_path / "z")
+    spark.createDataFrame(
+        [(1, 10.0, "k")], "event_id long, value double, extra string"
+    ).write.parquet(path)
+    sources._write_schema_manifest(path, ["event_id", "value", "extra"])
+    narrow = spark.read.parquet(path).drop("extra")
+    with pytest.raises(ValueError, match="manifest columns"):
+        layout.zorder_table(narrow, path, ["event_id", "value"], bits=2)
