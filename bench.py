@@ -377,7 +377,92 @@ def _w1m_throughput(
             "images_per_sec": round(n_rows / best, 1)}
 
 
+def _w1m_atrest_throughput(cpus: int, n_rows: int, window_size: int = 12800) -> dict:
+    """Assemble-only throughput over an AT-REST stride_blocks table:
+    stride_blocks is built and written bucketed-by-entity ONCE (outside
+    the timed region — the amortized layout cost), then the timed job
+    is windows_from_stride_blocks over the bucketed read, which plans
+    with zero Exchange.  This measures the remedy the --w1m-sweep
+    points at: if the assemble stage scales cleanly once the block
+    build is at rest, the one-shot extractor's floor is confirmed as
+    the block build and the amortization story holds."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from gfwspark import layout
+    from gfwspark import windows as W
+    from gfwspark.session import get_spark
+
+    n_ent = 512
+    wh = f"/dev/shm/spark-wh-atrest-{cpus}"
+    shutil.rmtree(wh, ignore_errors=True)
+    spark = get_spark(
+        f"gfwspark-w1m-atrest-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=8 * cpus,
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.local.dir": "/dev/shm/spark-local",
+            "spark.sql.warehouse.dir": wh,
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.range(n_rows).select(
+        (F.col("id") % n_ent).alias("image_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("id") / n_ent).cast("long") * 60
+        ).alias("ts"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    spark.sql("DROP TABLE IF EXISTS w1m_blocks")
+    # 64 buckets at every core count: same files, same read partitioning
+    layout.write_bucketed(
+        W.stride_blocks(df, "v", shift=767), "w1m_blocks", ["image_id"], 64,
+        sort_cols=["image_id", "block_id"],
+    )
+
+    def job():
+        _materialize(
+            W.windows_from_stride_blocks(
+                spark.table("w1m_blocks"), window_size=window_size, shift=767
+            )
+        )
+
+    job()  # warm
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        job()
+        runs.append(time.perf_counter() - t0)
+    best = min(runs)
+    spark.stop()
+    shutil.rmtree(wh, ignore_errors=True)
+    return {"cpus": cpus, "rows": n_rows, "sec": round(best, 3),
+            "runs": [round(r, 3) for r in runs],
+            "images_per_sec": round(n_rows / best, 1)}
+
+
 def main() -> None:
+    if "--scaling-worker-w1m-atrest" in sys.argv:
+        i = sys.argv.index("--scaling-worker-w1m-atrest")
+        print(json.dumps(_w1m_atrest_throughput(
+            int(sys.argv[i + 1]), int(sys.argv[i + 2]))))
+        return
+    if "--w1m-atrest-pair" in sys.argv:
+        best: dict[int, dict] = {}
+        for _ in range(2):
+            for cpus in (2, 8):
+                out = subprocess.run(
+                    [sys.executable, __file__, "--scaling-worker-w1m-atrest",
+                     str(cpus), "12800000"],
+                    capture_output=True, text=True, check=True)
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                if cpus not in best or r["sec"] < best[cpus]["sec"]:
+                    best[cpus] = r
+        eff = best[8]["images_per_sec"] / (4 * best[2]["images_per_sec"])
+        print(json.dumps({"lo": best[2], "hi": best[8],
+                          "efficiency_2_to_8": round(eff, 3)}))
+        return
     if "--scaling" in sys.argv:
         # Two N->4N pairs.  Headline: 2->8 cores, where per-core memory
         # bandwidth share stays constant like on a real N->4N EXECUTOR
@@ -596,7 +681,11 @@ while the W-proportional assemble work parallelizes near-linearly and
 lifts the blended efficiency as W grows.  At 100 TB the remedy is
 layout, not window geometry: build stride_blocks once at rest
 (bucketed by entity) and amortize the block-build floor across every
-window job that reads it.
+window job that reads it.  The remedy is itself measured
+(`bench.py --w1m-atrest-pair`, BENCH/HISTORY.md): assemble-only over
+the at-rest bucketed blocks (zero-Exchange plan) scales at 0.853 at
+51.2M rows and runs 2.2x the one-shot extractor's absolute 8-core
+throughput.
 
 ## How the job was made scale-clean (each step measured)
 
