@@ -16,6 +16,7 @@ PLAN_QUERIES = (
     "sliding_feature_windows",
     "aligned_windows",
     "bloom_semi_join",
+    "sliding_window_refs",
 )
 
 
