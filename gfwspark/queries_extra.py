@@ -830,6 +830,51 @@ def q_windows_from_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("append_blocks_windows", _SFW_ORACLE)
+def q_append_blocks_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-maintenance path end-to-end against the SAME
+    oracle as sliding_feature_windows: split each user's series at its
+    midpoint (the late half is a strictly-later-ts append batch; the
+    events table has unique per-user ts), build stride blocks from the
+    early half, merge the append via append_stride_blocks, assemble
+    windows from the maintained blocks — the result must be value-
+    identical to one-shot windows over the full series."""
+    from pyspark.sql import Window as W_
+
+    ev = tables.load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    w_ = W_.partitionBy("user_id").orderBy("ts")
+    tagged = ev.withColumn("_rn", F.row_number().over(w_)).withColumn(
+        "_n", F.count(F.lit(1)).over(W_.partitionBy("user_id"))
+    )
+    early = tagged.filter(F.col("_rn") <= F.col("_n") / 2).drop("_rn", "_n")
+    late = tagged.filter(F.col("_rn") > F.col("_n") / 2).drop("_rn", "_n")
+    blocks = windows.append_stride_blocks(
+        windows.stride_blocks(early, "value", shift=_SFW_SHIFT,
+                              entity="user_id", ts="ts"),
+        late, "value", shift=_SFW_SHIFT, entity="user_id", ts="ts",
+        on_late="ignore",  # split-by-rank guarantees monotonicity; skip the count
+    )
+    w = windows.windows_from_stride_blocks(
+        blocks, window_size=_SFW_W, shift=_SFW_SHIFT, entity="user_id"
+    )
+    return w.select(
+        "user_id",
+        "win_end_ts",
+        "win_start_ts",
+        F.col("n_points").cast("int").alias("n_points"),
+        F.posexplode("features").alias("pos", "feature"),
+    ).select(
+        "user_id",
+        "win_end_ts",
+        "win_start_ts",
+        "n_points",
+        F.col("pos").cast("int").alias("pos"),
+        "feature",
+    )
+
+
 @register("sliding_window_refs", _SWR_ORACLE)
 def q_sliding_window_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load_table(spark, sf_dir, "events")

@@ -315,3 +315,67 @@ def stream_upsert_sink(
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def stream_stride_blocks_sink(
+    stream: DataFrame,
+    path: str,
+    feature_col,
+    shift: int,
+    entity: str = "image_id",
+    ts: str = "ts",
+    n_buckets: int = 16,
+    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
+):
+    """CDC maintenance of an AT-REST stride_blocks table (the window
+    layout behind windows.windows_from_stride_blocks): every
+    micro-batch is merged via windows.append_stride_blocks(
+    changed_only=True) — per batch only each appended entity's tail
+    block plus its new blocks are rewritten, through the
+    partition-pruned upsert on keys (entity, block_id).  Steady-state
+    cost tracks batch size, never table size: the layout that
+    amortizes the one-shot extractor's block-build scaling floor
+    (BENCH/HISTORY.md r6) stays fresh under continuous ingestion.
+
+    Idempotency: on_late="drop" excludes batch rows at or before each
+    entity's stored max ts.  Under the monotonic-ingestion contract
+    those are exactly the already-applied rows, so an availableNow
+    crash-replay of the last uncommitted batch merges zero new blocks
+    and re-upserts nothing new — exactly-once TABLE STATE from
+    at-least-once delivery, same contract as stream_upsert_sink.
+    Consequence: genuinely out-of-order (late) rows are dropped, not
+    an error — a backfill requires rebuilding the affected entities'
+    blocks offline.
+
+    `trigger` defaults to {"availableNow": True} (drain-and-stop);
+    pass {"processingTime": ...} for a long-lived daemon.  Single
+    writer, like the batch sink.  Returns the started StreamingQuery.
+    """
+    import os
+
+    from gfwspark import sources, windows
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(path):
+            blocks = sources.read_table(spark, path).drop("_bucket")
+            changed = windows.append_stride_blocks(
+                blocks, batch_df, feature_col, shift,
+                entity=entity, ts=ts, changed_only=True, on_late="drop",
+            )
+        else:
+            changed = windows.stride_blocks(
+                batch_df, feature_col, shift, entity=entity, ts=ts
+            )
+        sources.upsert_partitioned(
+            spark, changed, path, keys=[entity, "block_id"],
+            entity=entity, n_buckets=n_buckets, collect_stats=False,
+        )
+
+    w = stream.writeStream.foreachBatch(_sink).trigger(
+        **(trigger if trigger is not None else {"availableNow": True})
+    )
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

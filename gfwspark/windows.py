@@ -468,6 +468,116 @@ def stride_blocks(
     )
 
 
+def append_stride_blocks(
+    blocks: DataFrame,
+    new_rows: DataFrame,
+    feature_col: str | list[str],
+    shift: int,
+    entity: str = "image_id",
+    ts: str = "ts",
+    changed_only: bool = False,
+    on_late: str = "error",
+) -> DataFrame:
+    """Incremental maintenance of an at-rest stride_blocks table under
+    ingestion appends: merge `new_rows` (whose timestamps are strictly
+    AFTER each entity's existing rows — the ingestion-time
+    monotonicity the engine's as-of semantics already assume) into the
+    block table WITHOUT rebuilding it.  Row numbers of existing rows
+    are unchanged under append-at-end, so the only rows touched are
+    each appended entity's final (possibly partial) block plus the new
+    blocks after it — per batch that is O(entities_in_batch x
+    (1 + new_rows/shift)) block rows, not the table.
+
+    ``changed_only=True`` returns just those touched block rows — the
+    MERGE payload for sources.upsert_partitioned / a foreachBatch CDC
+    sink over the persisted blocks table (keys=[entity, block_id]).
+    ``changed_only=False`` returns the full updated frame
+    (untouched blocks pass through), equal to
+    stride_blocks(old_rows UNION new_rows) — pinned by pytest.
+
+    ``on_late`` controls rows that are NOT strictly after their
+    entity's stored max ts (an out-of-order append would corrupt row
+    numbering):
+      - "error" (default): one count() on the batch-sized join, raise
+        on violation — the batch-job setting.
+      - "drop": silently exclude them.  Under the monotonic-ingestion
+        contract the only such rows are ones ALREADY APPLIED, so a
+        crash-replayed batch becomes a natural no-op — the idempotency
+        mode streaming.stream_stride_blocks_sink relies on.  Genuinely
+        late data is dropped too; use "error" if that must be loud.
+      - "ignore": skip the check (caller guarantees monotonicity).
+    """
+    S = shift
+    multi = isinstance(feature_col, (list, tuple))
+    if multi:
+        val_expr = F.array(
+            *[F.col(c).cast("double") for c in feature_col]
+        ).alias("_val")
+    else:
+        val_expr = F.col(feature_col).alias("_val")
+
+    stats = blocks.groupBy(entity).agg(
+        F.sum(F.size("values")).alias("_n_old"),
+        F.max(F.element_at("ts_arr", F.size("ts_arr"))).alias("_max_ts"),
+    )
+    new = (
+        new_rows.select(F.col(entity), F.col(ts).alias("_ts"), val_expr)
+        .join(F.broadcast(stats), entity, "left")
+        .withColumn("_n_old", F.coalesce("_n_old", F.lit(0)))
+    )
+    late = F.col("_max_ts").isNotNull() & (F.col("_ts") <= F.col("_max_ts"))
+    if on_late == "error":
+        bad = new.filter(late).count()
+        if bad:
+            raise ValueError(
+                f"append_stride_blocks: {bad} new rows are not strictly "
+                "after their entity's stored max ts — an out-of-order "
+                "append would corrupt block row numbering; backfill "
+                "requires a rebuild of the affected entities"
+            )
+    elif on_late == "drop":
+        new = new.filter(~late)
+    elif on_late != "ignore":
+        raise ValueError(f"on_late must be error|drop|ignore, got {on_late!r}")
+    w_order = Window.partitionBy(entity).orderBy("_ts")
+    new_blocks = (
+        new.withColumn(
+            "_rn", F.col("_n_old") + F.row_number().over(w_order)
+        )
+        .withColumn("_blk", F.floor((F.col("_rn") - 1) / S))
+        .groupBy(entity, "_blk")
+        .agg(F.expr("sort_array(collect_list(struct(_rn, _val, _ts)))").alias("_s"))
+        .select(
+            entity,
+            F.col("_blk").alias("block_id"),
+            F.expr("transform(_s, x -> x._val)").alias("values"),
+            F.expr("transform(_s, x -> x._ts)").alias("ts_arr"),
+        )
+    )
+    # only each entity's final stored block can overlap a new block id
+    # (append-at-end); merge by array concat, old prefix first
+    n, b = new_blocks.alias("n"), blocks.alias("b")
+    merged = (
+        n.join(b, [entity, "block_id"], "left")
+        .select(
+            entity,
+            "block_id",
+            F.when(
+                F.col("b.values").isNull(), F.col("n.values")
+            ).otherwise(F.concat("b.values", "n.values")).alias("values"),
+            F.when(
+                F.col("b.ts_arr").isNull(), F.col("n.ts_arr")
+            ).otherwise(F.concat("b.ts_arr", "n.ts_arr")).alias("ts_arr"),
+        )
+    )
+    if changed_only:
+        return merged
+    untouched = blocks.join(
+        new_blocks.select(entity, "block_id"), [entity, "block_id"], "left_anti"
+    )
+    return untouched.unionByName(merged)
+
+
 def sliding_feature_window_refs(
     df: DataFrame,
     window_size: int,

@@ -948,3 +948,55 @@ def test_sliding_window_refs_reconstruct(img_df, img_pdf):
         got = flat[int(r.win_start_rn) - base - 1 : int(r.win_end_rn) - base]
         want = list(mat_ix.loc[(r.image_id, r.win_end_ts)].features)
         assert got == want, (r.image_id, r.win_end_rn)
+
+
+def test_append_stride_blocks_equals_rebuild(img_df, img_pdf):
+    """Incremental block maintenance == full rebuild: split each
+    entity's series at its midpoint (appends strictly later in ts),
+    build blocks from the early half, append the late half, and the
+    result must equal stride_blocks over the full input — and
+    changed_only must cover exactly the tail + new block ids."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W_
+
+    S_ = 3
+    w = W_.partitionBy("image_id").orderBy("ts")
+    tagged = img_df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(W_.partitionBy("image_id"))
+    )
+    early = tagged.filter(F.col("_rn") <= F.col("_n") / 2).drop("_rn", "_n")
+    late = tagged.filter(F.col("_rn") > F.col("_n") / 2).drop("_rn", "_n")
+
+    base = windows.stride_blocks(early, "phash", shift=S_)
+    full = windows.stride_blocks(img_df, "phash", shift=S_)
+    inc = windows.append_stride_blocks(base, late, "phash", shift=S_)
+
+    key = ["image_id", "block_id"]
+    a = full.toPandas().sort_values(key).reset_index(drop=True)
+    b = inc.toPandas().sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key])
+    for (_, ra), (_, rb) in zip(a.iterrows(), b.iterrows()):
+        assert list(ra["values"]) == list(rb["values"]), (ra.image_id, ra.block_id)
+        assert list(ra.ts_arr) == list(rb.ts_arr)
+
+    # changed_only: every returned id is >= the entity's old tail block
+    ch = windows.append_stride_blocks(
+        base, late, "phash", shift=S_, changed_only=True
+    ).toPandas()
+    tails = base.groupBy("image_id").agg(
+        F.max("block_id").alias("tail")
+    ).toPandas().set_index("image_id")["tail"]
+    assert (ch.block_id >= ch.image_id.map(tails).fillna(-1)).all()
+    # and merging changed rows over the base reproduces the full table
+    merged = pd.concat(
+        [base.toPandas().merge(ch[key], on=key, how="left", indicator=True)
+             .query("_merge == 'left_only'").drop(columns="_merge"), ch]
+    ).sort_values(key).reset_index(drop=True)
+    assert a[key].equals(merged[key])
+
+    # out-of-order append raises
+    import pytest
+
+    with pytest.raises(ValueError, match="strictly after"):
+        windows.append_stride_blocks(full, early, "phash", shift=S_)

@@ -392,3 +392,66 @@ def test_stream_upsert_sink_trigger_passthrough(spark, tmp_path):
         assert list(got["image_id"]) == ["e1", "e2"]
     finally:
         q.stop()
+
+
+def test_stream_stride_blocks_sink_maintains_block_table(spark, tmp_path):
+    """Two micro-batches of strictly-later appends flow through the
+    blocks CDC sink; the maintained table must equal stride_blocks over
+    the full input, and an availableNow replay with the same checkpoint
+    must leave it unchanged (idempotent crash recovery)."""
+    import time
+
+    from gfwspark import streaming, windows
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "blocks")
+    ck = str(tmp_path / "ck")
+    from datetime import datetime
+
+    schema = "image_id string, ts timestamp, v double"
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    b1 = spark.createDataFrame(
+        [("e1", t(0), 1.0), ("e1", t(1), 2.0),
+         ("e1", t(2), 3.0), ("e2", t(0), 9.0)],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    b2 = spark.createDataFrame(
+        [("e1", t(3), 4.0), ("e1", t(4), 5.0),
+         ("e2", t(5), 8.0), ("e3", t(0), 7.0)],
+        schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = streaming.stream_stride_blocks_sink(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            tbl, "v", shift=2, checkpoint_dir=ck,
+        )
+        q.awaitTermination(120)
+
+    run()
+    want = (
+        windows.stride_blocks(b1.unionByName(b2), "v", shift=2)
+        .toPandas().sort_values(["image_id", "block_id"]).reset_index(drop=True)
+    )
+    got = (
+        spark.read.parquet(tbl).drop("_bucket").toPandas()
+        .sort_values(["image_id", "block_id"]).reset_index(drop=True)
+    )
+    assert want[["image_id", "block_id"]].equals(got[["image_id", "block_id"]])
+    for (_, ra), (_, rb) in zip(want.iterrows(), got.iterrows()):
+        assert list(ra["values"]) == list(rb["values"])
+        assert list(ra.ts_arr) == list(rb.ts_arr)
+
+    run()  # replay: no new source data -> table state unchanged
+    again = (
+        spark.read.parquet(tbl).drop("_bucket").toPandas()
+        .sort_values(["image_id", "block_id"]).reset_index(drop=True)
+    )
+    assert got.equals(again)
