@@ -449,12 +449,17 @@ def main() -> None:
             int(sys.argv[i + 1]), int(sys.argv[i + 2]))))
         return
     if "--w1m-atrest-pair" in sys.argv:
+        # 51.2M rows (4x the one-shot W1m pair): at 12.8M the 8-core
+        # assemble-only job is ~1.4 s and fixed stage dispatch swamps
+        # the ratio (measured 0.708-0.781 vs 0.853 at 51.2M —
+        # BENCH/HISTORY.md r6); this default reproduces the recorded
+        # configuration
         best: dict[int, dict] = {}
         for _ in range(2):
             for cpus in (2, 8):
                 out = subprocess.run(
                     [sys.executable, __file__, "--scaling-worker-w1m-atrest",
-                     str(cpus), "12800000"],
+                     str(cpus), "51200000"],
                     capture_output=True, text=True, check=True)
                 r = json.loads(out.stdout.strip().splitlines()[-1])
                 if cpus not in best or r["sec"] < best[cpus]["sec"]:

@@ -104,7 +104,11 @@ def _stage_frames(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    if materialize_survivors:
+    if materialize_survivors or materialize_stages:
+        # stage-3 output feeds 4 branches (and the audit's n3 count);
+        # under materialize_stages the audit contract is every stage
+        # builds from its predecessor's blocks, regardless of the
+        # survivor-materialization setting
         d = d.localCheckpoint(eager=True)
     frames.append(d)
     # 4: MinHash-LSH near dedup (exact-Jaccard verified) — drop doc_b.

@@ -212,14 +212,28 @@ def zorder_table(
     keyed = df.withColumn("_zkey", zorder_key(buckets, bits))
     n_files = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
     tmp, old = recover_rewrite(path, suffix="._zorder")
-    (
-        keyed.repartitionByRange(n_files, "_zkey")
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    _write_schema_manifest(tmp, [c for c in df.columns])
+    # a bucket-partitioned upsert table must KEEP its _bucket=k/ dirs
+    # (a flat rewrite collides with the next upsert's partition dirs —
+    # same hazard compact_table guards).  Z-cluster WITHIN each bucket:
+    # range on (_bucket, _zkey) aligns partitions to bucket boundaries,
+    # partitionBy splits per dir, and file skipping still prunes on the
+    # per-bucket z-ranges.
+    bucketed = "_bucket" in df.columns
+    if bucketed:
+        out = keyed.repartitionByRange(
+            n_files, "_bucket", "_zkey"
+        ).sortWithinPartitions("_bucket", "_zkey")
+    else:
+        out = keyed.repartitionByRange(n_files, "_zkey").sortWithinPartitions(
+            "_zkey"
+        )
+    w = out.drop("_zkey").write.mode("overwrite")
+    if bucketed:
+        w = w.partitionBy("_bucket")
+    w.parquet(tmp)
+    # manifest matches the read-back column set (partition column
+    # included — same convention as upsert/compact manifests)
+    _write_schema_manifest(tmp, list(df.columns))
     commit_rewrite(path, tmp, old)
     return {"boundaries": bounds, "n_files": n_files}
 

@@ -552,12 +552,27 @@ def compact_table(
     # layout: a flat rewrite would leave root-level files that collide
     # with the next upsert's partition dirs ("conflicting directory
     # structures") and break its partition-pruned bucket rewrites.
-    # Clustering the repartition by _bucket keeps each bucket's rows in
-    # few output partitions, so partitionBy emits ~1 file per bucket.
+    # Range-partitioning on (_bucket, <within-bucket order>) honors
+    # target_mb ACROSS buckets — a bucket bigger than target_mb spans
+    # several range partitions (several files in its dir), instead of
+    # collapsing to one oversized single-task file — and starting the
+    # within-partition sort with _bucket means the partitioned writer's
+    # required ordering is already satisfied (no extra SortExec to
+    # scramble the sort_cols clustering on spill).
     bucketed = "_bucket" in df.columns
-    out = df.repartition(n_out, "_bucket") if bucketed else df.repartition(n_out)
-    if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
+    if bucketed:
+        inner = (
+            [F.col(c) for c in sort_cols] if sort_cols
+            # no requested order: seeded rand only spreads FILE
+            # assignment inside a bucket; table content is unaffected
+            else [F.rand(42)]
+        )
+        out = df.repartitionByRange(n_out, F.col("_bucket"), *inner)
+        out = out.sortWithinPartitions("_bucket", *(sort_cols or []))
+    else:
+        out = df.repartition(n_out)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
     w = out.write.mode("overwrite")
     if bucketed:
         w = w.partitionBy("_bucket")

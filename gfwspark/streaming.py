@@ -357,9 +357,26 @@ def stream_stride_blocks_sink(
     from gfwspark import sources, windows
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from gfwspark.checkpoint import bucket_of
+
         spark = batch_df.sparkSession
         if os.path.exists(path):
-            blocks = sources.read_table(spark, path).drop("_bucket")
+            # prune the stored table to the batch's buckets BEFORE the
+            # merge: append_stride_blocks' per-entity stats agg and
+            # tail-block join then scan only the touched _bucket=k/
+            # dirs (partition pruning on the upsert layout) — per-batch
+            # cost tracks batch size, not table size
+            touched = [
+                r["_b"]
+                for r in batch_df.select(
+                    bucket_of(entity, n_buckets).alias("_b")
+                ).distinct().collect()
+            ]
+            blocks = (
+                sources.read_table(spark, path)
+                .filter(F.col("_bucket").isin(touched))
+                .drop("_bucket")
+            )
             changed = windows.append_stride_blocks(
                 blocks, batch_df, feature_col, shift,
                 entity=entity, ts=ts, changed_only=True, on_late="drop",

@@ -445,18 +445,33 @@ def stride_blocks(
     reconstructed by slicing blocks floor((lo-1)/shift) ..
     floor((end-1)/shift), which is what sliding_feature_window_refs'
     output addresses."""
-    S = shift
-    multi = isinstance(feature_col, (list, tuple))
-    if multi:
-        val_expr = F.array(*[F.col(c).cast("double") for c in feature_col]).alias("_val")
+    rows = _block_rows(df, feature_col, entity, ts).withColumn(
+        "_rn", F.row_number().over(Window.partitionBy(entity).orderBy("_ts"))
+    )
+    return _block_agg(rows, shift, entity)
+
+
+def _block_rows(
+    df: DataFrame, feature_col: str | list[str], entity: str, ts: str
+) -> DataFrame:
+    """(entity, _ts, _val) projection shared by the one-shot and
+    incremental block builders — ONE definition of the value cast so
+    the pinned incremental==rebuild equality cannot drift."""
+    if isinstance(feature_col, (list, tuple)):
+        val_expr = F.array(
+            *[F.col(c).cast("double") for c in feature_col]
+        ).alias("_val")
     else:
         val_expr = F.col(feature_col).alias("_val")
-    w_order = Window.partitionBy(entity).orderBy("_ts")
-    rows = df.select(F.col(entity), F.col(ts).alias("_ts"), val_expr).select(
-        "*", F.row_number().over(w_order).alias("_rn")
-    )
+    return df.select(F.col(entity), F.col(ts).alias("_ts"), val_expr)
+
+
+def _block_agg(rows: DataFrame, shift: int, entity: str) -> DataFrame:
+    """(entity, _ts, _val, _rn) -> one row per (entity, block_id) with
+    ordered values/ts_arr slices.  `_rn` is the 1-based GLOBAL row
+    number (the incremental builder passes stored-count offsets)."""
     return (
-        rows.withColumn("_blk", F.floor((F.col("_rn") - 1) / S))
+        rows.withColumn("_blk", F.floor((F.col("_rn") - 1) / shift))
         .groupBy(entity, "_blk")
         .agg(F.expr("sort_array(collect_list(struct(_rn, _val, _ts)))").alias("_s"))
         .select(
@@ -507,21 +522,12 @@ def append_stride_blocks(
         late data is dropped too; use "error" if that must be loud.
       - "ignore": skip the check (caller guarantees monotonicity).
     """
-    S = shift
-    multi = isinstance(feature_col, (list, tuple))
-    if multi:
-        val_expr = F.array(
-            *[F.col(c).cast("double") for c in feature_col]
-        ).alias("_val")
-    else:
-        val_expr = F.col(feature_col).alias("_val")
-
     stats = blocks.groupBy(entity).agg(
         F.sum(F.size("values")).alias("_n_old"),
         F.max(F.element_at("ts_arr", F.size("ts_arr"))).alias("_max_ts"),
     )
     new = (
-        new_rows.select(F.col(entity), F.col(ts).alias("_ts"), val_expr)
+        _block_rows(new_rows, feature_col, entity, ts)
         .join(F.broadcast(stats), entity, "left")
         .withColumn("_n_old", F.coalesce("_n_old", F.lit(0)))
     )
@@ -540,19 +546,10 @@ def append_stride_blocks(
     elif on_late != "ignore":
         raise ValueError(f"on_late must be error|drop|ignore, got {on_late!r}")
     w_order = Window.partitionBy(entity).orderBy("_ts")
-    new_blocks = (
-        new.withColumn(
-            "_rn", F.col("_n_old") + F.row_number().over(w_order)
-        )
-        .withColumn("_blk", F.floor((F.col("_rn") - 1) / S))
-        .groupBy(entity, "_blk")
-        .agg(F.expr("sort_array(collect_list(struct(_rn, _val, _ts)))").alias("_s"))
-        .select(
-            entity,
-            F.col("_blk").alias("block_id"),
-            F.expr("transform(_s, x -> x._val)").alias("values"),
-            F.expr("transform(_s, x -> x._ts)").alias("ts_arr"),
-        )
+    new_blocks = _block_agg(
+        new.withColumn("_rn", F.col("_n_old") + F.row_number().over(w_order)),
+        shift,
+        entity,
     )
     # only each entity's final stored block can overlap a new block id
     # (append-at-end); merge by array concat, old prefix first

@@ -557,3 +557,71 @@ def test_zorder_refuses_schema_dropping_rewrite(spark, tmp_path):
     narrow = spark.read.parquet(path).drop("extra")
     with pytest.raises(ValueError, match="manifest columns"):
         layout.zorder_table(narrow, path, ["event_id", "value"], bits=2)
+
+
+def test_zorder_preserves_bucket_layout(spark, tmp_path):
+    """In-place zorder of a bucket-partitioned upsert table must keep
+    the _bucket=k/ dirs (z-clustering within buckets) — the same
+    layout hazard compact_table guards."""
+    import os
+
+    from gfwspark import layout, sources
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(f"e{i}", i, float(i % 97)) for i in range(500)],
+        "image_id string, seq int, val double",
+    )
+    sources.upsert_partitioned(
+        spark, df, path, keys=["image_id"], n_buckets=4, collect_stats=False
+    )
+    src = sources.read_table(spark, path)
+    layout.zorder_table(src, path, ["seq", "val"], bits=3, n_files=8)
+    loose = [e for e in os.listdir(path) if not e.startswith(("_", "."))]
+    assert not loose and any(
+        e.startswith("_bucket=") for e in os.listdir(path)
+    )
+    assert spark.read.parquet(path).count() == 500
+    # and the next upsert still works
+    up = spark.createDataFrame(
+        [("e0", 0, -1.0)], "image_id string, seq int, val double"
+    )
+    sources.upsert_partitioned(
+        spark, up, path, keys=["image_id"], n_buckets=4, collect_stats=False
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    assert back.filter("image_id = 'e0'").first()["val"] == -1.0
+
+
+def test_compact_bucketed_honors_target_mb(spark, tmp_path):
+    """Compacting a bucketed table must size files by target_mb ACROSS
+    buckets: a bucket larger than target_mb spans several files in its
+    dir instead of collapsing to one oversized single-task file."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from gfwspark import sources
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(120_000).select(
+        F.concat(F.lit("e"), (F.col("id") % 50).cast("string")).alias("image_id"),
+        F.col("id").alias("seq"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    sources.upsert_partitioned(
+        spark, df, path, keys=["image_id", "seq"], n_buckets=2,
+        collect_stats=False,
+    )
+    r = sources.compact_table(spark, path, target_mb=1)
+    n_out_expected = max(1, -(-r["bytes"] // (1024 * 1024)))
+    assert n_out_expected > 2, r  # fixture big enough to need >1 file/bucket
+    per_bucket = {
+        d: len([f for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")])
+        for d in os.listdir(path) if d.startswith("_bucket=")
+    }
+    assert len(per_bucket) == 2
+    assert all(n > 1 for n in per_bucket.values()), per_bucket
+    assert spark.read.parquet(path).count() == 120_000
