@@ -267,3 +267,28 @@ def write_entity_stats(stats: DataFrame, table_path: str) -> str:
 
 def read_entity_stats(spark, table_path: str) -> DataFrame:
     return spark.read.parquet(table_path.rstrip("/") + "/_entity_stats")
+
+
+def merge_entity_stats(old: DataFrame, batch: DataFrame,
+                       entity: str = "image_id", ts: str = "ts") -> DataFrame:
+    """Incremental profile maintenance: fold an APPEND batch's rows
+    into an existing (entity, n_rows, lo_us, hi_us) profile without
+    rescanning the table — count is additive and the ts bounds are
+    min/max-mergeable, so the merged profile is exactly
+    collect_entity_stats(table UNION batch).  The CDC companion to the
+    upsert sink: per batch the cost is one pass over the batch plus a
+    shuffle of profile-sized partials, keeping
+    asof_join(strategy='auto', entity_stats=...) dispatch fresh under
+    continuous ingestion.  APPEND-only: an upsert that REPLACES rows
+    changes neither semantics here nor monotone bounds correctness for
+    n_rows (a replaced row is counted twice) — rebuild the profile
+    after replace-heavy maintenance."""
+    return (
+        old.unionByName(collect_entity_stats(batch, entity, ts))
+        .groupBy(entity)
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("lo_us").alias("lo_us"),
+            F.max("hi_us").alias("hi_us"),
+        )
+    )

@@ -279,6 +279,8 @@ def stream_upsert_sink(
     n_buckets: int = 16,
     checkpoint_dir: str | None = None,
     trigger: dict | None = None,
+    update_entity_stats: bool = False,
+    ts: str = "ts",
 ):
     """MERGE ingestion sink: every micro-batch upserts into the
     bucket-partitioned parquet table via sources.upsert_partitioned —
@@ -299,15 +301,41 @@ def stream_upsert_sink(
     delivery.  Stats collection is off (no deleted-count scan per
     batch); single-writer contract as for the batch sink.
 
+    ``update_entity_stats=True`` additionally folds each batch into
+    the table's persisted <path>/_entity_stats profile
+    (layout.merge_entity_stats) so asof auto-dispatch stays fresh
+    under continuous ingestion.  APPEND-shaped batches keep the
+    profile exact; replace-heavy upserts overcount n_rows (see
+    merge_entity_stats) — and note the profile update is NOT inside
+    the checkpoint transaction: a crash-replayed batch double-counts
+    its rows in the profile (bounds stay exact; counts are dispatch
+    heuristics, not results).
+
     Returns the started StreamingQuery; caller owns awaitTermination.
     """
-    from gfwspark import sources
+    import os
+
+    from gfwspark import layout, sources
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         sources.upsert_partitioned(
             batch_df.sparkSession, batch_df, path, keys=keys,
             entity=entity, n_buckets=n_buckets, collect_stats=False,
         )
+        if update_entity_stats:
+            sp = path.rstrip("/") + "/_entity_stats"
+            if os.path.exists(sp):
+                merged = layout.merge_entity_stats(
+                    layout.read_entity_stats(batch_df.sparkSession, path),
+                    batch_df, entity=entity, ts=ts,
+                )
+            else:
+                merged = layout.collect_entity_stats(batch_df, entity, ts)
+            # profile-sized; materialize before overwriting the dir the
+            # read above is lazily bound to
+            layout.write_entity_stats(
+                merged.localCheckpoint(eager=True), path
+            )
 
     w = stream.writeStream.foreachBatch(_sink).trigger(
         **(trigger if trigger is not None else {"availableNow": True})

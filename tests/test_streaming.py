@@ -455,3 +455,49 @@ def test_stream_stride_blocks_sink_maintains_block_table(spark, tmp_path):
         .sort_values(["image_id", "block_id"]).reset_index(drop=True)
     )
     assert got.equals(again)
+
+
+def test_stream_upsert_sink_maintains_entity_stats(spark, tmp_path):
+    """update_entity_stats=True folds each append batch into the
+    persisted profile; for pure-append batches the maintained profile
+    equals collect_entity_stats over the full table."""
+    import time
+    from datetime import datetime
+
+    from gfwspark import layout, streaming
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    schema = "image_id string, seq int, ts timestamp, val double"
+    b1 = spark.createDataFrame(
+        [("e1", 1, t(0), 1.0), ("e1", 2, t(1), 2.0), ("e2", 1, t(5), 9.0)],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    b2 = spark.createDataFrame(
+        [("e1", 3, t(2), 3.0), ("e3", 1, t(9), 7.0)], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming.stream_upsert_sink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        tbl, keys=["image_id", "seq"],
+        checkpoint_dir=str(tmp_path / "ck"),
+        update_entity_stats=True,
+    )
+    q.awaitTermination(120)
+
+    want = (
+        layout.collect_entity_stats(b1.unionByName(b2))
+        .toPandas().sort_values("image_id").reset_index(drop=True)
+    )
+    got = (
+        layout.read_entity_stats(spark, tbl)
+        .toPandas().sort_values("image_id").reset_index(drop=True)
+    )
+    assert want.equals(got[want.columns])
