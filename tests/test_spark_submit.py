@@ -108,3 +108,65 @@ def test_spark_submit_corpus_prep_job(spark, tmp_path):
 
     back = spark.read.parquet(out_path)
     assert back.filter(F.col("split") == "train").count() == summary["splits"]["train"]
+
+
+def test_spark_submit_blocks_maintain_job(spark, tmp_path):
+    """Fresh-JVM build + append of the at-rest stride-blocks layout via
+    spark-submit --py-files: after both runs the maintained table must
+    equal stride_blocks over the full input."""
+    from datetime import datetime
+
+    from gfwspark import windows
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    schema = "image_id string, ts timestamp, v double"
+    base = spark.createDataFrame(
+        [("e1", t(0), 1.0), ("e1", t(1), 2.0), ("e1", t(2), 3.0),
+         ("e2", t(0), 9.0)],
+        schema,
+    )
+    appd = spark.createDataFrame(
+        [("e1", t(3), 4.0), ("e2", t(5), 8.0), ("e3", t(0), 7.0)], schema
+    )
+    base_p, app_p = str(tmp_path / "base.pq"), str(tmp_path / "app.pq")
+    blocks_p = str(tmp_path / "blocks")
+    base.write.parquet(base_p)
+    appd.write.parquet(app_p)
+
+    zip_path = tmp_path / "engine.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for p in (REPO / "gfwspark").rglob("*.py"):
+            zf.write(p, p.relative_to(REPO))
+
+    def run(mode, inp):
+        proc = subprocess.run(
+            [
+                "spark-submit", "--master", "local[4]",
+                "--py-files", str(zip_path),
+                "--conf", "spark.sql.session.timeZone=UTC",
+                "--conf", "spark.ui.enabled=false",
+                str(REPO / "jobs" / "blocks_maintain_job.py"),
+                "--mode", mode, "--input", inp, "--blocks", blocks_p,
+                "--feature-col", "v", "--shift", "2", "--buckets", "2",
+                "--on-late", "drop",
+            ],
+            capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+
+    run("build", base_p)
+    run("append", app_p)
+
+    want = (
+        windows.stride_blocks(base.unionByName(appd), "v", shift=2)
+        .toPandas().sort_values(["image_id", "block_id"]).reset_index(drop=True)
+    )
+    got = (
+        spark.read.parquet(blocks_p).drop("_bucket").toPandas()
+        .sort_values(["image_id", "block_id"]).reset_index(drop=True)
+    )
+    assert want[["image_id", "block_id"]].equals(got[["image_id", "block_id"]])
+    for (_, ra), (_, rb) in zip(want.iterrows(), got.iterrows()):
+        assert list(ra["values"]) == list(rb["values"])
