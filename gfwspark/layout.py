@@ -188,6 +188,7 @@ def zorder_table(
 
     from gfwspark.sources import (
         _read_schema_manifest,
+        _read_table_meta,
         _write_schema_manifest,
         commit_rewrite,
         recover_rewrite,
@@ -232,8 +233,13 @@ def zorder_table(
         w = w.partitionBy("_bucket")
     w.parquet(tmp)
     # manifest matches the read-back column set (partition column
-    # included — same convention as upsert/compact manifests)
-    _write_schema_manifest(tmp, list(df.columns))
+    # included) and carries the source table's extras (n_buckets) —
+    # same convention as upsert/compact manifests
+    src_meta = (_read_table_meta(path) or {}) if os.path.exists(path) else {}
+    _write_schema_manifest(
+        tmp, list(df.columns),
+        {k: v for k, v in src_meta.items() if k != "columns"},
+    )
     commit_rewrite(path, tmp, old)
     return {"boundaries": bounds, "n_files": n_files}
 

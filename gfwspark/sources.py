@@ -312,7 +312,7 @@ def temporal_split_embargo(
 _SCHEMA_MANIFEST = "_table_schema.json"
 
 
-def _read_schema_manifest(path: str) -> list[str] | None:
+def _read_table_meta(path: str) -> dict | None:
     import json
     import os
 
@@ -320,21 +320,30 @@ def _read_schema_manifest(path: str) -> list[str] | None:
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return json.load(f)["columns"]
+        return json.load(f)
 
 
-def _write_schema_manifest(path: str, columns: list[str]) -> None:
+def _read_schema_manifest(path: str) -> list[str] | None:
+    meta = _read_table_meta(path)
+    return None if meta is None else meta["columns"]
+
+
+def _write_schema_manifest(
+    path: str, columns: list[str], extra: dict | None = None
+) -> None:
     # tmp + atomic rename: a crash mid-dump must not leave a truncated
     # manifest (which would turn every later read_table into a
     # JSONDecodeError — the sidecar must be as crash-safe as the
-    # rewrite protocol it guards)
+    # rewrite protocol it guards).  ``extra`` carries table-level
+    # metadata beyond the column set (today: n_buckets for the upsert
+    # layout); rewriters must pass the source table's extras through.
     import json
     import os
 
     p = os.path.join(path, _SCHEMA_MANIFEST)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"columns": sorted(columns)}, f)
+        json.dump({**(extra or {}), "columns": sorted(columns)}, f)
     os.replace(tmp, p)
 
 
@@ -397,6 +406,14 @@ def upsert_partitioned(
 
     from gfwspark.checkpoint import bucket_of
 
+    meta = _read_table_meta(path) if os.path.exists(path) else None
+    if meta is not None and meta.get("n_buckets") not in (None, n_buckets):
+        raise ValueError(
+            f"upsert_partitioned: table at {path} was built with "
+            f"n_buckets={meta['n_buckets']} but this call passed "
+            f"n_buckets={n_buckets} — a mismatched bucket modulus would "
+            "assign keys to the wrong _bucket dirs and duplicate rows"
+        )
     b = batch.withColumn("_bucket", bucket_of(entity, n_buckets))
     touched = sorted(r["_bucket"] for r in b.select("_bucket").distinct().collect())
     n_up = b.count()
@@ -452,7 +469,7 @@ def upsert_partitioned(
         # yet in any file only costs a conservative footer scan; the
         # reverse ordering would let the cheap old-file read pass the
         # manifest check and reopen the evolved-column loss)
-        _write_schema_manifest(path, out.columns)
+        _write_schema_manifest(path, out.columns, {"n_buckets": n_buckets})
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -463,7 +480,7 @@ def upsert_partitioned(
     # including a default (non-evolving) upsert's — sees the full
     # schema even while untouched buckets still hold old-schema files
     # (idempotent re-write covers the fresh-table branch above)
-    _write_schema_manifest(path, out.columns)
+    _write_schema_manifest(path, out.columns, {"n_buckets": n_buckets})
     return {"touched_buckets": touched, "upserted": n_up, "deleted": deleted}
 
 
@@ -543,6 +560,8 @@ def compact_table(
         return n, b
 
     tmp, old = recover_rewrite(path, suffix="._compact")
+    src_meta = _read_table_meta(path) or {}
+    extra = {k: v for k, v in src_meta.items() if k != "columns"}
     files_before, total_bytes = _stats(path)
     n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
     # manifest-aware read: compacting an evolved (mixed-schema) table
@@ -577,7 +596,7 @@ def compact_table(
     if bucketed:
         w = w.partitionBy("_bucket")
     w.parquet(tmp)
-    _write_schema_manifest(tmp, out.columns)
+    _write_schema_manifest(tmp, out.columns, extra)
     commit_rewrite(path, tmp, old)
     files_after, _ = _stats(path)
     return {

@@ -330,7 +330,15 @@ def stream_upsert_sink(
                     batch_df, entity=entity, ts=ts,
                 )
             else:
-                merged = layout.collect_entity_stats(batch_df, entity, ts)
+                # bootstrap from the FULL table (the upsert above has
+                # already merged this batch into it): a batch-only
+                # profile would permanently undercount every row that
+                # pre-existed the sink.  One full scan, first batch only
+                merged = layout.collect_entity_stats(
+                    sources.read_table(batch_df.sparkSession, path)
+                    .drop("_bucket"),
+                    entity, ts,
+                )
             # profile-sized; materialize before overwriting the dir the
             # read above is lazily bound to
             layout.write_entity_stats(
@@ -380,42 +388,12 @@ def stream_stride_blocks_sink(
     pass {"processingTime": ...} for a long-lived daemon.  Single
     writer, like the batch sink.  Returns the started StreamingQuery.
     """
-    import os
-
-    from gfwspark import sources, windows
+    from gfwspark import windows
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        from gfwspark.checkpoint import bucket_of
-
-        spark = batch_df.sparkSession
-        if os.path.exists(path):
-            # prune the stored table to the batch's buckets BEFORE the
-            # merge: append_stride_blocks' per-entity stats agg and
-            # tail-block join then scan only the touched _bucket=k/
-            # dirs (partition pruning on the upsert layout) — per-batch
-            # cost tracks batch size, not table size
-            touched = [
-                r["_b"]
-                for r in batch_df.select(
-                    bucket_of(entity, n_buckets).alias("_b")
-                ).distinct().collect()
-            ]
-            blocks = (
-                sources.read_table(spark, path)
-                .filter(F.col("_bucket").isin(touched))
-                .drop("_bucket")
-            )
-            changed = windows.append_stride_blocks(
-                blocks, batch_df, feature_col, shift,
-                entity=entity, ts=ts, changed_only=True, on_late="drop",
-            )
-        else:
-            changed = windows.stride_blocks(
-                batch_df, feature_col, shift, entity=entity, ts=ts
-            )
-        sources.upsert_partitioned(
-            spark, changed, path, keys=[entity, "block_id"],
-            entity=entity, n_buckets=n_buckets, collect_stats=False,
+        windows.merge_append_into_blocks_table(
+            batch_df.sparkSession, batch_df, path, feature_col, shift,
+            entity=entity, ts=ts, n_buckets=n_buckets, on_late="drop",
         )
 
     w = stream.writeStream.foreachBatch(_sink).trigger(

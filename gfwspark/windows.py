@@ -575,6 +575,56 @@ def append_stride_blocks(
     return untouched.unionByName(merged)
 
 
+def merge_append_into_blocks_table(
+    spark,
+    batch: DataFrame,
+    path: str,
+    feature_col: str | list[str],
+    shift: int,
+    entity: str = "image_id",
+    ts: str = "ts",
+    n_buckets: int = 16,
+    on_late: str = "drop",
+) -> dict:
+    """The ONE merge step behind both CDC surfaces of the at-rest
+    window layout (streaming.stream_stride_blocks_sink per micro-batch,
+    jobs/blocks_maintain_job.py --mode append per run): prune the
+    stored table to the batch's buckets (per-call cost tracks batch
+    size, not table size), merge via append_stride_blocks
+    (changed_only), and upsert the touched block rows on
+    (entity, block_id).  A missing table bootstraps from the batch.
+    upsert_partitioned validates n_buckets against the table's
+    manifest, so a mismatched modulus raises before anything is
+    written.  Returns the upsert summary."""
+    import os
+
+    from gfwspark import sources
+    from gfwspark.checkpoint import bucket_of
+
+    if os.path.exists(path):
+        touched = [
+            r["_b"]
+            for r in batch.select(
+                bucket_of(entity, n_buckets).alias("_b")
+            ).distinct().collect()
+        ]
+        blocks = (
+            sources.read_table(spark, path)
+            .filter(F.col("_bucket").isin(touched))
+            .drop("_bucket")
+        )
+        changed = append_stride_blocks(
+            blocks, batch, feature_col, shift,
+            entity=entity, ts=ts, changed_only=True, on_late=on_late,
+        )
+    else:
+        changed = stride_blocks(batch, feature_col, shift, entity=entity, ts=ts)
+    return sources.upsert_partitioned(
+        spark, changed, path, keys=[entity, "block_id"],
+        entity=entity, n_buckets=n_buckets, collect_stats=False,
+    )
+
+
 def sliding_feature_window_refs(
     df: DataFrame,
     window_size: int,

@@ -4,20 +4,26 @@ stride-blocks window layout.
 
     spark-submit --py-files engine.zip jobs/blocks_maintain_job.py \
         --mode build  --input <rows parquet>   --blocks <table path> \
-        --feature-col v --shift 767 [--buckets 16]
+        --feature-col v --shift 767 [--buckets 16] [--overwrite]
     spark-submit --py-files engine.zip jobs/blocks_maintain_job.py \
         --mode append --input <append parquet> --blocks <table path> \
         --feature-col v --shift 767 [--buckets 16] [--on-late drop]
 
 `build` computes windows.stride_blocks over the full input and writes
 the bucket-partitioned table (the one-time layout cost the r6 bench
-measured as the one-shot extractor's scaling floor).  `append` merges
-a strictly-later-ts batch via windows.append_stride_blocks
-(changed_only) through the partition-pruned upsert — only each
-appended entity's tail block plus its new blocks are rewritten.  Any
-consumer then materializes windows of ANY W stepping by `shift` with
-windows.windows_from_stride_blocks (zero-Exchange over the bucketed
-read) — see BENCH/HISTORY.md round 6 for the measured efficiencies.
+measured as the one-shot extractor's scaling floor).  It REFUSES a
+non-empty --blocks path unless --overwrite: merging a rebuild into an
+existing table would leave stale block rows (shrunken entities keep
+their phantom tail blocks) and the table would no longer equal
+stride_blocks(input).  `append` merges a strictly-later-ts batch via
+windows.merge_append_into_blocks_table — the same pruned-merge step
+the streaming CDC sink runs per micro-batch; only each appended
+entity's tail block plus its new blocks are rewritten, and a
+--buckets value that differs from the table's recorded layout raises
+before anything is written.  Any consumer then materializes windows
+of ANY W stepping by `shift` with windows.windows_from_stride_blocks
+(zero-Exchange over the bucketed read) — see BENCH/HISTORY.md round 6
+for the measured efficiencies.
 """
 
 from __future__ import annotations
@@ -36,6 +42,10 @@ def main() -> None:
     ap.add_argument("--ts", default="ts")
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument(
+        "--overwrite", action="store_true",
+        help="build mode: replace an existing blocks table",
+    )
+    ap.add_argument(
         "--on-late", default="error", choices=["error", "drop", "ignore"],
         help="append mode: rows not strictly after the entity's stored "
              "max ts (error = raise, drop = skip already-applied/late "
@@ -43,43 +53,36 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    import os
+    import shutil
+
     from gfwspark import sources, windows
     from gfwspark.session import get_spark
 
     spark = get_spark("gfwspark-blocks-maintain", master=None)
     rows = spark.read.parquet(args.input)
     if args.mode == "build":
+        if os.path.exists(args.blocks):
+            if not args.overwrite:
+                raise SystemExit(
+                    f"--mode build refuses existing table {args.blocks}: an "
+                    "upsert-merge rebuild would leave stale block rows; pass "
+                    "--overwrite to replace it, or use --mode append"
+                )
+            shutil.rmtree(args.blocks)
         changed = windows.stride_blocks(
             rows, args.feature_col, args.shift, entity=args.entity, ts=args.ts
         )
+        r = sources.upsert_partitioned(
+            spark, changed, args.blocks, keys=[args.entity, "block_id"],
+            entity=args.entity, n_buckets=args.buckets, collect_stats=False,
+        )
     else:
-        import pyspark.sql.functions as F
-
-        from gfwspark.checkpoint import bucket_of
-
-        # prune the stored table to the batch's buckets before the
-        # merge (same contract as streaming.stream_stride_blocks_sink):
-        # per-run cost tracks batch size, not table size
-        touched = [
-            r["_b"]
-            for r in rows.select(
-                bucket_of(args.entity, args.buckets).alias("_b")
-            ).distinct().collect()
-        ]
-        blocks = (
-            sources.read_table(spark, args.blocks)
-            .filter(F.col("_bucket").isin(touched))
-            .drop("_bucket")
+        r = windows.merge_append_into_blocks_table(
+            spark, rows, args.blocks, args.feature_col, args.shift,
+            entity=args.entity, ts=args.ts, n_buckets=args.buckets,
+            on_late=args.on_late,
         )
-        changed = windows.append_stride_blocks(
-            blocks, rows, args.feature_col, args.shift,
-            entity=args.entity, ts=args.ts,
-            changed_only=True, on_late=args.on_late,
-        )
-    r = sources.upsert_partitioned(
-        spark, changed, args.blocks, keys=[args.entity, "block_id"],
-        entity=args.entity, n_buckets=args.buckets, collect_stats=False,
-    )
     print({"mode": args.mode, **r})
 
 

@@ -625,3 +625,26 @@ def test_compact_bucketed_honors_target_mb(spark, tmp_path):
     assert len(per_bucket) == 2
     assert all(n > 1 for n in per_bucket.values()), per_bucket
     assert spark.read.parquet(path).count() == 120_000
+
+
+def test_upsert_rejects_mismatched_bucket_count(spark, tmp_path):
+    """The manifest records n_buckets; a later upsert with a different
+    modulus must raise before writing anything — a silent mismatch
+    assigns keys to the wrong _bucket dirs and duplicates rows."""
+    import pytest
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("e1", 1.0), ("e2", 2.0)], "image_id string, val double"
+    )
+    sources.upsert_partitioned(
+        spark, df, path, keys=["image_id"], n_buckets=32, collect_stats=False
+    )
+    with pytest.raises(ValueError, match="n_buckets=32"):
+        sources.upsert_partitioned(
+            spark, df, path, keys=["image_id"], n_buckets=16,
+            collect_stats=False,
+        )
+    # and compaction preserves the recorded layout metadata
+    sources.compact_table(spark, path, target_mb=1024)
+    assert sources._read_table_meta(path)["n_buckets"] == 32

@@ -170,3 +170,4 @@ def test_spark_submit_blocks_maintain_job(spark, tmp_path):
     assert want[["image_id", "block_id"]].equals(got[["image_id", "block_id"]])
     for (_, ra), (_, rb) in zip(want.iterrows(), got.iterrows()):
         assert list(ra["values"]) == list(rb["values"])
+        assert list(ra.ts_arr) == list(rb.ts_arr)  # merge order: old prefix first
