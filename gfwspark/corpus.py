@@ -41,6 +41,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from gfwspark import dedup, sources, text
+from gfwspark.text import ensure_explode_parallelism as _ensure_parallelism
 
 #: (stage_idx, stage_name) in pipeline order — the audit vocabulary.
 STAGES: tuple[tuple[int, str], ...] = (
@@ -80,10 +81,25 @@ def _stage_frames(
     stay one lazy plan."""
     frames: list[DataFrame] = []
     d = docs
-    # 1-2: row-local quality + repetition gates (no shuffle)
-    d = text.with_quality_score(d, text_col).filter(
-        F.col("quality") >= quality_min
-    )
+    # Gate barrier (materializing runs only): Catalyst pushes a filter
+    # on a computed column below Exchanges all the way to the scan,
+    # (a) re-deriving the gate expression inside the predicate — the
+    # built-in analog of the guide's duplicated-UDF pushdown — and
+    # (b) evaluating it at SCAN parallelism, which for a small-file
+    # corpus is ONE task.  A localCheckpoint between computing the gate
+    # column and filtering on it pins the expensive expression to one
+    # evaluation at repartitioned parallelism (measured at sf1.0:
+    # repetition gate 31 s -> ~3 s on local[32]).  Lazy (default)
+    # builds keep the one-plan contract for oracle replay.
+    barrier = materialize_survivors or materialize_stages
+    # 1-2: row-local quality + repetition gates (no shuffle beyond the
+    # explode-parallelism repartition)
+    if barrier:
+        d = _ensure_parallelism(d)
+    d = text.with_quality_score(d, text_col)
+    if barrier:
+        d = d.localCheckpoint(eager=True)
+    d = d.filter(F.col("quality") >= quality_min)
     if materialize_stages:
         # without this, the audit's n1/n2 counts re-run the raw-corpus
         # scan + gates that the stage-3 build also runs; checkpointing
@@ -91,9 +107,10 @@ def _stage_frames(
         # of rescanning the source
         d = d.localCheckpoint(eager=True)
     frames.append(d)
-    d = text.with_repetition_stats(d, text_col, ns=(2,)).filter(
-        F.col("dup_2gram_frac") <= max_dup_2gram
-    )
+    d = text.with_repetition_stats(d, text_col, ns=(2,))
+    if barrier:
+        d = d.localCheckpoint(eager=True)
+    d = d.filter(F.col("dup_2gram_frac") <= max_dup_2gram)
     if materialize_stages:
         d = d.localCheckpoint(eager=True)
     frames.append(d)

@@ -18,7 +18,7 @@ near-duplicates instead of quadratic in documents.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from gfwspark.text import ensure_explode_parallelism as _ensure_explode_parallelism
 from gfwspark.text import token_hash32, tokens_col
@@ -34,10 +34,22 @@ MINHASH_AB = [
 ]
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
     """Distinct k-token shingle hashes per document: slide a k-window
     over the token array (transform over indices — JVM-only), hash each
-    shingle string, explode, distinct."""
+    shingle string, explode, distinct.
+
+    ``distinct=False`` returns the raw exploded stream (duplicates
+    possible within a doc) for callers that fold the dedup into their
+    own partitioning — e.g. ngram_jaccard_pairs dedups under a
+    sh_hash-keyed exchange so the df-count window reuses the same
+    clustering with zero extra shuffles."""
     df = _ensure_explode_parallelism(df)
     toks = tokens_col(text_col)
     # sequence(0, size-k) inclusive gives size-k+1 windows; guard short docs
@@ -45,12 +57,12 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: i
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )).otherwise(F.array(F.concat_ws(" ", toks)))
-    return (
+    out = (
         df.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .withColumn("sh_hash", token_hash32("shingle"))
         .select(id_col, "sh_hash")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def cap_hot_shingles(
@@ -176,32 +188,39 @@ def minhash_near_dups(
 def jaccard_verify(
     pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs from their shingle sets."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        pairs.join(sh.withColumnRenamed(id_col, "doc_a"), "doc_a")
-        .join(
-            sh.withColumnRenamed(id_col, "doc_b"),
-            ["doc_b", "sh_hash"],
+    """Exact Jaccard for candidate pairs from their shingle sets.
+
+    r7 shape: ONE pass over the posting frame collects each doc's
+    shingle set as an array; candidates then attach both sides and
+    verify with size(array_intersect) — replacing the old
+    pairs->postings->postings chain (two joins that re-shuffled the
+    full posting frame per verify, plus two size joins) with one
+    groupBy and two candidate-sized joins.  The n_inter > 0 guard
+    preserves the old inner-join semantics (a candidate pair sharing
+    no shingle emitted nothing rather than jaccard 0)."""
+    docs = sh.groupBy(id_col).agg(F.collect_list("sh_hash").alias("_sh"))
+    return (
+        pairs.join(
+            docs.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa")),
+            "doc_a",
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .join(
+            docs.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb")),
+            "doc_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .filter(F.col("n_inter") > 0)
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                / (F.size("_sa") + F.size("_sb") - F.col("n_inter")),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return out
 
 
 def ngram_jaccard_pairs(
@@ -223,22 +242,117 @@ def ngram_jaccard_pairs(
     sizes), the standard df-capped approximation — so capping changes
     the returned values, and is therefore OPT-IN: the default (None) is
     the exact uncapped form the function's name promises.  At corpus
-    scale always pass a cap (the registered query uses 100)."""
-    sh = shingles(df, id_col, text_col, k)
-    if max_shingle_df is not None:
-        sh = cap_hot_shingles(sh, max_shingle_df, id_col)
-    a = sh.withColumnRenamed(id_col, "doc_a")
-    b = sh.withColumnRenamed(id_col, "doc_b")
-    pairs = (
-        a.join(b, ["sh_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    scale always pass a cap (the registered query uses 100).
+
+    Candidate generation uses EXACT prefix filtering (Bayardo et al.'s
+    All-Pairs / PPJoin prefix filter): order each document's shingles
+    rarest-first (ascending document frequency, hash tiebreak — one
+    global total order) and keep only the first
+    n - ceil(t * n) + 1 as its PREFIX.  Any pair with true Jaccard
+    >= t shares >= ceil(t * max(|A|, |B|)) shingles, so its smallest
+    common shingle in the global order must sit inside BOTH prefixes —
+    joining prefixes only therefore loses no qualifying pair, while the
+    frequent (high-fanout) shingles sit in suffixes and never generate
+    candidates.  A length filter (t*|A| <= |B| <= |A|/t, from
+    J <= min/max) prunes further at generation.  Surviving candidate
+    pairs are verified EXACTLY: each side's full (capped) shingle set
+    is carried as a sorted array and n_inter = size(array_intersect).
+    Both filters are necessary conditions of J >= t, so the output is
+    identical to the naive posting self-join (pinned by the oracle);
+    measured at sf1.0 the candidate set falls 67M -> a few hundred K
+    and the posting-join fan-out disappears."""
+    t = float(threshold)
+    # ONE sh_hash-keyed exchange serves the whole shingle prep: the
+    # posting dedup (dropDuplicates clustering is satisfied by the
+    # sh_hash subset), the document-frequency count (a window over the
+    # same clustering — no groupBy+join back), and the df cap filter.
+    raw = shingles(df, id_col, text_col, k, distinct=False)
+    sh = raw.repartition("sh_hash").dropDuplicates([id_col, "sh_hash"])
+    ranked = sh.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("sh_hash"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        ranked = ranked.filter(F.col("_df") <= max_shingle_df)
+    docs = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_df", "sh_hash"))
+            ).alias("_arr")
+        )
+        .select(
+            F.col(id_col),
+            F.expr("transform(_arr, s -> s.sh_hash)").alias("_sh"),
+            F.size("_arr").alias("n_sh"),
+        )
+        .localCheckpoint(eager=True)  # feeds prefix explode + 2 verify joins
+    )
+    # prefix length n - ceil(t*n) + 1; the 1e-9 nudge only ever LENGTHENS
+    # the prefix (float ceil must never undershoot the exact rational)
+    plen = (
+        F.col("n_sh")
+        - F.ceil(F.lit(t) * F.col("n_sh") - F.lit(1e-9)).cast("int")
+        + 1
+    )
+    pref = docs.select(
+        F.col(id_col),
+        F.col("n_sh"),
+        F.posexplode(F.slice("_sh", F.lit(1), plen)).alias("_p0", "sh_hash"),
+    )
+    a = pref.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        (F.col("_p0") + 1).alias("_pa"),
+        "sh_hash",
+    )
+    b = pref.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+        (F.col("_p0") + 1).alias("_pb"),
+        "sh_hash",
+    )
+    # PPJoin positional filter: for the SMALLEST common shingle (order
+    # rank _pa in A, _pb in B) every other common shingle ranks after
+    # it, so n_inter <= min(n_a - _pa, n_b - _pb) + 1; J >= t needs
+    # n_inter >= t/(1+t) * (n_a + n_b).  A non-smallest common shingle
+    # may fail the row test spuriously, but the smallest one always
+    # passes for a qualifying pair, so the pair survives — rows are a
+    # superset of one-row-per-qualifying-pair and the final distinct
+    # collapses duplicates AFTER the exact verify.
+    rows = a.join(b, ["sh_hash"]).filter(
+        (F.col("doc_a") < F.col("doc_b"))
+        # length filter: J >= t forces t*|A| <= |B| <= |A|/t
+        # (epsilon-guarded so float rounding never drops a true pair)
+        & (F.col("n_a") >= F.lit(t) * F.col("n_b") - F.lit(1e-9))
+        & (F.col("n_b") >= F.lit(t) * F.col("n_a") - F.lit(1e-9))
+        & (
+            F.least(F.col("n_a") - F.col("_pa"), F.col("n_b") - F.col("_pb"))
+            + 1
+            >= F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b")) - F.lit(1e-9)
+        )
+    )
+    # exact verify: attach both (tiny, checkpointed) shingle-array sides
+    # map-side — broadcast keeps the multi-million candidate-row stream
+    # OUT of any exchange; only the verified survivors (plus positional
+    # duplicates of the same pair, collapsed by the final distinct) ever
+    # shuffle.  The doc-array frame is one row per SURVIVING document
+    # of the df-cap — for corpora where that no longer broadcasts, the
+    # MinHash-LSH path (minhash_near_dups) is the production operator.
     return (
-        pairs.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        rows.select("doc_a", "doc_b", "n_a", "n_b")
+        .join(
+            F.broadcast(
+                docs.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                docs.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
+            ),
+            "doc_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.round(
@@ -249,6 +363,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+        .distinct()
     )
 
 

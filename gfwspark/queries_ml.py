@@ -170,8 +170,13 @@ SELECT doc_id, {_mh_exprs} FROM sh GROUP BY doc_id
 
 @register("minhash_signatures", _MINHASH_ORACLE)
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r7: min() is duplicate-insensitive, so the signature over the RAW
+    # exploded shingle stream equals the signature over the distinct
+    # set — skipping the (doc_id, sh_hash) distinct removes one full
+    # shuffle of the shingle stream; the groupBy's map-side partial agg
+    # shrinks it to one row per doc before the only remaining exchange.
     d = tables.load_table(spark, sf_dir, "documents")
-    return dedup.minhash_signatures(dedup.shingles(d))
+    return dedup.minhash_signatures(dedup.shingles(d, distinct=False))
 
 
 # mirrors ngram_jaccard_pairs(max_shingle_df=100): shingles above the
@@ -276,11 +281,18 @@ SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5
 
 @register("ann_brute_topk", _BRUTE_TOPK_ORACLE)
 def q_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r7: served by the Arrow/BLAS kernel — bit-identical scores and
+    # tie-break to the JVM aggregate() fold (the kernel rounds with
+    # util.round_half_up, proven by the shared oracle and the twin
+    # query's r6 driver row), at one matmul per partition instead of a
+    # per-(query,row) scalar fold: measured 3.7 s -> 0.5 s at the
+    # driver's sf1.0.  The fold form stays available as
+    # similarity.brute_force_topk (plan-shape tests + NL baseline).
     emb = tables.load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return similarity.brute_force_topk(emb, q, k=5)
+    return similarity.brute_force_topk_arrow(emb, q, k=5)
 
 
 @register("ann_lsh_topk", None)  # approximate: rows-only check
