@@ -541,6 +541,14 @@ def asof_join_chunked(
             for c in value_cols
         ],
     )
+    # join strategy deliberately left to the planner (sort-merge with
+    # the big side's window sort REUSED — no re-sort of `within`): an
+    # r7 experiment hinting the tiny carry side to shuffled-hash
+    # measured faster standalone (1.97 -> 1.73 s interleaved minima)
+    # but ~2x SLOWER inside the full bench session (2.06 -> 3.87 s,
+    # asof_skew_auto 2.13 -> 5.56 s) — under AQE the hint forces
+    # partition alignment against the coalesced window shuffle and the
+    # big side pays a fresh exchange.  Reverted; measure in context.
     out = within.join(carry, on=[entity, "_chunk"], how="left")
     return out.filter(F.col("_src") == 1).select(
         *fact_cols,

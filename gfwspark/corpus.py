@@ -94,26 +94,43 @@ def _stage_frames(
     barrier = materialize_survivors or materialize_stages
     # 1-2: row-local quality + repetition gates (no shuffle beyond the
     # explode-parallelism repartition)
-    if barrier:
-        d = _ensure_parallelism(d)
-    d = text.with_quality_score(d, text_col)
-    if barrier:
-        d = d.localCheckpoint(eager=True)
-    d = d.filter(F.col("quality") >= quality_min)
-    if materialize_stages:
-        # without this, the audit's n1/n2 counts re-run the raw-corpus
-        # scan + gates that the stage-3 build also runs; checkpointing
-        # here also lets every later stage read from this block instead
-        # of rescanning the source
-        d = d.localCheckpoint(eager=True)
-    frames.append(d)
-    d = text.with_repetition_stats(d, text_col, ns=(2,))
-    if barrier:
-        d = d.localCheckpoint(eager=True)
-    d = d.filter(F.col("dup_2gram_frac") <= max_dup_2gram)
-    if materialize_stages:
-        d = d.localCheckpoint(eager=True)
-    frames.append(d)
+    if barrier and not materialize_stages:
+        # fused gate barrier: compute BOTH gate columns in one
+        # projection behind one checkpoint, then filter in stage order.
+        # dup_2gram_frac is evaluated on the (few) quality-rejected
+        # rows too, but one checkpoint pass beats two; the staged-audit
+        # path below keeps one checkpoint per stage so each count reads
+        # its own materialized frame.
+        d = text.with_repetition_stats(
+            text.with_quality_score(_ensure_parallelism(d), text_col),
+            text_col,
+            ns=(2,),
+        ).localCheckpoint(eager=True)
+        d = d.filter(F.col("quality") >= quality_min)
+        frames.append(d)
+        d = d.filter(F.col("dup_2gram_frac") <= max_dup_2gram)
+        frames.append(d)
+    else:
+        if barrier:
+            d = _ensure_parallelism(d)
+        d = text.with_quality_score(d, text_col)
+        if barrier:
+            d = d.localCheckpoint(eager=True)
+        d = d.filter(F.col("quality") >= quality_min)
+        if materialize_stages:
+            # without this, the audit's n1/n2 counts re-run the
+            # raw-corpus scan + gates that the stage-3 build also runs;
+            # checkpointing here also lets every later stage read from
+            # this block instead of rescanning the source
+            d = d.localCheckpoint(eager=True)
+        frames.append(d)
+        d = text.with_repetition_stats(d, text_col, ns=(2,))
+        if barrier:
+            d = d.localCheckpoint(eager=True)
+        d = d.filter(F.col("dup_2gram_frac") <= max_dup_2gram)
+        if materialize_stages:
+            d = d.localCheckpoint(eager=True)
+        frames.append(d)
     # 3: exact dedup — keep the smallest id per content hash
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
     d = (
@@ -130,10 +147,13 @@ def _stage_frames(
     frames.append(d)
     # 4: MinHash-LSH near dedup (exact-Jaccard verified) — drop doc_b.
     # Staged rather than via dedup.minhash_near_dups so the shingle
-    # frame can share the materialization point: the verify step reads
-    # it three times (signatures, sizes, intersection), and lazily
-    # each read re-runs the tokenize+shingle+hash explode.
-    sh = dedup.shingles(d, id_col=id_col, text_col=text_col)
+    # frame can share the materialization point: both consumers
+    # (signatures, the verify's set-collect) would otherwise re-run
+    # the tokenize+shingle+hash explode.  The stream stays RAW
+    # (distinct=False): minhash min() is duplicate-insensitive and
+    # jaccard_verify collects a SET, so the posting distinct and its
+    # full-stream exchange are pure overhead here.
+    sh = dedup.shingles(d, id_col=id_col, text_col=text_col, distinct=False)
     if materialize_survivors:
         sh = sh.localCheckpoint(eager=True)
     sig = dedup.minhash_signatures(sh, id_col=id_col)

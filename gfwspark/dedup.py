@@ -40,6 +40,7 @@ def shingles(
     text_col: str = "text",
     k: int = 3,
     distinct: bool = True,
+    partition_by: str | None = None,
 ) -> DataFrame:
     """Distinct k-token shingle hashes per document: slide a k-window
     over the token array (transform over indices — JVM-only), hash each
@@ -49,8 +50,12 @@ def shingles(
     possible within a doc) for callers that fold the dedup into their
     own partitioning — e.g. ngram_jaccard_pairs dedups under a
     sh_hash-keyed exchange so the df-count window reuses the same
-    clustering with zero extra shuffles."""
-    df = _ensure_explode_parallelism(df)
+    clustering with zero extra shuffles.
+
+    ``partition_by``: key the explode-parallelism repartition by this
+    column (e.g. ``id_col``) so a downstream per-doc aggregation reuses
+    the single exchange instead of re-shuffling the exploded stream."""
+    df = _ensure_explode_parallelism(df, key=partition_by)
     toks = tokens_col(text_col)
     # sequence(0, size-k) inclusive gives size-k+1 windows; guard short docs
     sh = F.when(F.size(toks) >= k, F.transform(
@@ -197,8 +202,11 @@ def jaccard_verify(
     full posting frame per verify, plus two size joins) with one
     groupBy and two candidate-sized joins.  The n_inter > 0 guard
     preserves the old inner-join semantics (a candidate pair sharing
-    no shingle emitted nothing rather than jaccard 0)."""
-    docs = sh.groupBy(id_col).agg(F.collect_list("sh_hash").alias("_sh"))
+    no shingle emitted nothing rather than jaccard 0).  collect_set
+    (not _list) makes the verify correct over a RAW shingle stream
+    too, so callers can skip the posting distinct entirely — set
+    semantics are what Jaccard is defined on either way."""
+    docs = sh.groupBy(id_col).agg(F.collect_set("sh_hash").alias("_sh"))
     return (
         pairs.join(
             docs.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa")),

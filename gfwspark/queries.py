@@ -772,7 +772,13 @@ FROM documents
 
 @register("doc_stats", _DOCSTATS_ORACLE)
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tables.load_table(spark, sf_dir, "documents")
+    from gfwspark.text import ensure_explode_parallelism
+
+    # r7: the documents table is a small single-row-group file, so the
+    # scan is ONE task and the three per-row regexes ran single-core; a
+    # round-robin repartition buys full-width execution for a scan-sized
+    # shuffle (same rationale as the explode operators).
+    d = ensure_explode_parallelism(tables.load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         "lang",

@@ -173,10 +173,14 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r7: min() is duplicate-insensitive, so the signature over the RAW
     # exploded shingle stream equals the signature over the distinct
     # set — skipping the (doc_id, sh_hash) distinct removes one full
-    # shuffle of the shingle stream; the groupBy's map-side partial agg
-    # shrinks it to one row per doc before the only remaining exchange.
+    # shuffle of the shingle stream.  Keying the explode-parallelism
+    # repartition by doc_id (instead of round-robin) lets the final
+    # groupBy(doc_id) reuse that one exchange: the whole query is a
+    # single shuffle of the (pre-explode) document rows.
     d = tables.load_table(spark, sf_dir, "documents")
-    return dedup.minhash_signatures(dedup.shingles(d, distinct=False))
+    return dedup.minhash_signatures(
+        dedup.shingles(d, distinct=False, partition_by="doc_id")
+    )
 
 
 # mirrors ngram_jaccard_pairs(max_shingle_df=100): shingles above the

@@ -206,8 +206,10 @@ def range_anchored_windows(
     )
 
     # window materialization: entity equi-join + rn range filter; each
-    # fact row joins at most n sample rows.
-    win = facts.join(draws, entity).filter(
+    # fact row joins at most n sample rows.  The draw side is
+    # |entities| x n rows — broadcast keeps the fact stream map-side
+    # (no re-shuffle of the checkpointed facts).
+    win = facts.join(F.broadcast(draws), entity).filter(
         (F.col("_rn") >= F.col("start_idx")) & (F.col("_rn") < F.col("start_idx") + L)
     )
     arr = F.sort_array(
@@ -265,7 +267,15 @@ def sampled_time_windows(
     L, m = output_length, min_timeslice_size
     keys = ["_s"] + ([order_tiebreak] if order_tiebreak else [])
     wo = Window.partitionBy(entity).orderBy(*[F.col(k).asc() for k in keys])
-    wo_desc = Window.partitionBy(entity).orderBy(*[F.col(k).desc() for k in keys])
+    wall = Window.partitionBy(entity)
+    # ONE window pass: the old second (descending) row_number sorted the
+    # whole fact stream a second time only to find the m-th row from the
+    # series end — that row is _rn == n_rows - m over the ascending rank
+    # plus the partition count, both available in the same pass.  The
+    # checkpoint pins the sorted/ranked facts so the three consumers
+    # below (bounds agg, start_idx fan-out, slice join) read it instead
+    # of each re-running the sort (column pruning makes their subtrees
+    # physically distinct, defeating ReuseExchange).
     facts = (
         df.select(
             entity,
@@ -274,21 +284,26 @@ def sampled_time_windows(
             *([order_tiebreak] if order_tiebreak else []),
         )
         .withColumn("_rn", F.row_number().over(wo) - 1)
-        # ts[n_rows - m] is the m-th row counted from the series end
-        .withColumn("_rn_desc", F.row_number().over(wo_desc))
+        .withColumn("_n_rows", F.count(F.lit(1)).over(wall))
+        .select(entity, "_s", "_val", "_rn", "_n_rows")
+        .localCheckpoint(eager=True)
     )
 
     bounds = (
         facts.groupBy(entity)
         .agg(
-            F.count(F.lit(1)).alias("_n_rows"),
+            F.max("_n_rows").alias("_n_rows"),
             F.min("_s").alias("_ts0"),
             F.max("_s").alias("_tslast"),
-            F.max(F.when(F.col("_rn_desc") == m, F.col("_s"))).alias("_ts_maxndx"),
+            # ts[n_rows - m], i.e. the m-th row counted from the end
+            F.max(
+                F.when(F.col("_rn") == F.col("_n_rows") - m, F.col("_s"))
+            ).alias("_ts_maxndx"),
         )
         .filter(F.col("_n_rows") >= m)
         .select(
             entity,
+            "_n_rows",
             (F.col("_ts0") - (L - m)).alias("_min_time"),
             F.least(F.col("_ts_maxndx"), F.col("_tslast") - max_time_delta).alias(
                 "_max_time"
@@ -299,11 +314,13 @@ def sampled_time_windows(
 
     draws = bounds.select(
         entity,
+        "_n_rows",
         "_min_time",
         "_max_time",
         F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("sample_idx"),
     ).select(
         entity,
+        "_n_rows",
         "sample_idx",
         (
             F.col("_min_time")
@@ -312,21 +329,23 @@ def sampled_time_windows(
         ).alias("start_time_s"),
     )
 
-    # searchsorted(ts, start_time, 'left') == count(ts < start_time),
-    # then keep the first L rows from there
-    win = facts.join(draws, entity)
-    slice_rows = (
-        win.groupBy(entity, "sample_idx", "start_time_s")
+    # searchsorted(ts, start_time, 'left') == count(ts < start_time).
+    # The draw side is |entities| x n rows — broadcast it so both
+    # fact-stream passes below stay map-side (the checkpointed facts
+    # are never re-shuffled); the partial aggregation collapses each
+    # task's contribution to one row per draw before the tiny exchange.
+    meta = (
+        facts.join(F.broadcast(draws.drop("_n_rows")), entity)
+        .groupBy(entity, "sample_idx", "start_time_s")
         .agg(
             F.sum(F.when(F.col("_s") < F.col("start_time_s"), 1).otherwise(0)).alias(
                 "start_idx"
             )
         )
-        .join(facts, entity)
-        .filter(
-            (F.col("_rn") >= F.col("start_idx"))
-            & (F.col("_rn") < F.col("start_idx") + L)
-        )
+    )
+    slice_rows = facts.join(F.broadcast(meta), entity).filter(
+        (F.col("_rn") >= F.col("start_idx"))
+        & (F.col("_rn") < F.col("start_idx") + L)
     )
     arr = F.sort_array(F.collect_list(F.struct("_rn", "_s", "_val")))
     pad = lambda field: F.expr(  # noqa: E731  out[k] = slice[k % n_real]

@@ -52,7 +52,7 @@ def tokens_col(text_col: str = "text"):
 _NPART_CACHE: dict[tuple[str, int], int] = {}
 
 
-def ensure_explode_parallelism(df: DataFrame) -> DataFrame:
+def ensure_explode_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
     """Explosive operators (shingle/token explode: ~100-200x row
     multiplication) need parallelism sized for their OUTPUT, but scan
     splits are sized for INPUT bytes — a small/single-row-group file
@@ -80,20 +80,23 @@ def ensure_explode_parallelism(df: DataFrame) -> DataFrame:
         # applicationId, not id(spark): CPython recycles object
         # addresses, so id() could alias a fresh session to a stopped
         # one's cached counts
-        key = (
+        cache_key = (
             spark.sparkContext.applicationId,
             df._jdf.queryExecution().logical().semanticHash(),
         )
-        n_in = _NPART_CACHE.get(key)
+        n_in = _NPART_CACHE.get(cache_key)
         if n_in is None:
             n_in = df.rdd.getNumPartitions()
             if len(_NPART_CACHE) > 256:  # bounded; keyed by plan hash
                 _NPART_CACHE.clear()
-            _NPART_CACHE[key] = n_in
+            _NPART_CACHE[cache_key] = n_in
     except Exception:
         return df
     if n_in < target:
-        return df.repartition(target)
+        # ``key``: hash-partition by that column instead of round-robin,
+        # so a downstream groupBy/join on the same key reuses this one
+        # exchange (guide §2.4) — e.g. minhash_signatures' per-doc agg.
+        return df.repartition(target, F.col(key)) if key else df.repartition(target)
     return df
 
 

@@ -762,3 +762,74 @@ def test_ivf_int8_at_rest_partition_pruned(spark, tmp_path):
         at_rest.toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_ngram_jaccard_prefix_filter_exact_vs_naive(spark):
+    """r7 internals guard: the All-Pairs prefix + length + positional
+    candidate pruning must return EXACTLY the naive posting-self-join
+    result for random corpora at several thresholds (the filters are
+    necessary conditions of J >= t, so no qualifying pair may be
+    lost and no extra pair may appear)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        k = rng.randint(0, 30)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+        if i % 5 == 0 and k > 3:  # planted near-dups
+            toks = rows[-1][1].split()
+            toks[0] = "ALT"
+            rows.append((i + 1000, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def naive(threshold, max_df):
+        sh = dedup.shingles(df)
+        if max_df is not None:
+            sh = dedup.cap_hot_shingles(sh, max_df)
+        a = sh.withColumnRenamed("doc_id", "doc_a")
+        b = sh.withColumnRenamed("doc_id", "doc_b")
+        pairs = (
+            a.join(b, ["sh_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        return (
+            pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+            .withColumn(
+                "jaccard",
+                F.round(F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
+    for threshold, max_df in ((0.3, None), (0.5, 10), (0.8, None), (1.0, None)):
+        got = sorted(
+            map(tuple, dedup.ngram_jaccard_pairs(df, threshold=threshold, max_shingle_df=max_df).collect())
+        )
+        want = sorted(map(tuple, naive(threshold, max_df).collect()))
+        assert got == want, f"threshold={threshold} max_df={max_df}"
+
+
+def test_jaccard_verify_raw_stream_equals_distinct(spark):
+    """collect_set in jaccard_verify makes the verify agree between the
+    RAW (duplicate-bearing) shingle stream and the distinct postings —
+    the contract corpus stage 4 relies on to skip the posting distinct."""
+    rows = [
+        (1, "a b c a b c a b c d e f"),
+        (2, "a b c a b c a b c d e g"),
+        (3, "x y z x y z q r s t u v"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    raw = dedup.shingles(df, distinct=False)
+    dist = dedup.shingles(df, distinct=True)
+    got_raw = sorted(map(tuple, dedup.jaccard_verify(pairs, raw, threshold=0.1).collect()))
+    got_dist = sorted(map(tuple, dedup.jaccard_verify(pairs, dist, threshold=0.1).collect()))
+    assert got_raw == got_dist
+    assert got_raw  # non-vacuous: (1,2) share most shingles
