@@ -187,6 +187,7 @@ def zorder_table(
     import os
 
     from gfwspark.sources import (
+        _carry_sidecars,
         _read_schema_manifest,
         _read_table_meta,
         _write_schema_manifest,
@@ -240,6 +241,8 @@ def zorder_table(
         tmp, list(df.columns),
         {k: v for k, v in src_meta.items() if k != "columns"},
     )
+    # layout-independent sidecars (e.g. _entity_stats) survive the swap
+    _carry_sidecars(path, tmp)
     commit_rewrite(path, tmp, old)
     return {"boundaries": bounds, "n_files": n_files}
 

@@ -311,6 +311,25 @@ def temporal_split_embargo(
 #: parquet reader from treating it as data.
 _SCHEMA_MANIFEST = "_table_schema.json"
 
+#: Sidecar SUBDIRS carried through layout rewrites (compact/zorder):
+#: their content is row-for-row independent of file layout, so a
+#: rewrite that drops them silently deletes a still-valid artifact
+#: (read_entity_stats then raises and the CDC sink re-bootstraps with
+#: a full-table scan).
+_CARRIED_SIDECARS = ("_entity_stats",)
+
+
+def _carry_sidecars(src: str, dst: str) -> None:
+    """Copy layout-independent sidecar dirs from the live table into a
+    rewrite's tmp dir before the atomic swap."""
+    import os
+    import shutil
+
+    for name in _CARRIED_SIDECARS:
+        p = os.path.join(src, name)
+        if os.path.isdir(p):
+            shutil.copytree(p, os.path.join(dst, name), dirs_exist_ok=True)
+
 
 def _read_table_meta(path: str) -> dict | None:
     import json
@@ -376,6 +395,7 @@ def upsert_partitioned(
     n_buckets: int = 16,
     collect_stats: bool = True,
     allow_schema_evolution: bool = False,
+    extra_meta: dict | None = None,
 ) -> dict:
     """MERGE-style upsert into a bucket-partitioned parquet table —
     the parquet stand-in for Iceberg MERGE INTO (same trick Iceberg's
@@ -401,6 +421,11 @@ def upsert_partitioned(
     Concurrency contract: single writer (like any filesystem parquet
     table); a real Iceberg catalog upgrades this to optimistic
     snapshot commits with no code change upstream.
+
+    ``extra_meta``: caller-owned table-level metadata recorded in the
+    schema-manifest sidecar alongside n_buckets (e.g. the stride-blocks
+    layout's shift/feature_cols contract) — the caller is responsible
+    for validating it against _read_table_meta before merging.
     """
     import os
 
@@ -469,7 +494,9 @@ def upsert_partitioned(
         # yet in any file only costs a conservative footer scan; the
         # reverse ordering would let the cheap old-file read pass the
         # manifest check and reopen the evolved-column loss)
-        _write_schema_manifest(path, out.columns, {"n_buckets": n_buckets})
+        _write_schema_manifest(
+            path, out.columns, {"n_buckets": n_buckets, **(extra_meta or {})}
+        )
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -480,7 +507,9 @@ def upsert_partitioned(
     # including a default (non-evolving) upsert's — sees the full
     # schema even while untouched buckets still hold old-schema files
     # (idempotent re-write covers the fresh-table branch above)
-    _write_schema_manifest(path, out.columns, {"n_buckets": n_buckets})
+    _write_schema_manifest(
+        path, out.columns, {"n_buckets": n_buckets, **(extra_meta or {})}
+    )
     return {"touched_buckets": touched, "upserted": n_up, "deleted": deleted}
 
 
@@ -552,7 +581,14 @@ def compact_table(
 
     def _stats(p: str) -> tuple[int, int]:
         n, b = 0, 0
-        for root, _dirs, files in os.walk(p):
+        for root, dirs, files in os.walk(p):
+            # sidecar dirs (e.g. _entity_stats) are metadata, not table
+            # data: their parquet files must not count toward the
+            # compaction sizing.  Partition dirs (_bucket=k) keep the
+            # "=" and stay included.
+            dirs[:] = [
+                d for d in dirs if "=" in d or not d.startswith(("_", "."))
+            ]
             for f in files:
                 if f.endswith(".parquet"):
                     n += 1
@@ -597,6 +633,7 @@ def compact_table(
         w = w.partitionBy("_bucket")
     w.parquet(tmp)
     _write_schema_manifest(tmp, out.columns, extra)
+    _carry_sidecars(path, tmp)
     commit_rewrite(path, tmp, old)
     files_after, _ = _stats(path)
     return {

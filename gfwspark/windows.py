@@ -595,12 +595,34 @@ def merge_append_into_blocks_table(
     (entity, block_id).  A missing table bootstraps from the batch.
     upsert_partitioned validates n_buckets against the table's
     manifest, so a mismatched modulus raises before anything is
-    written.  Returns the upsert summary."""
+    written; the manifest additionally records the layout's `shift`
+    and `feature_cols`, and a merge called with a DIFFERENT shift or
+    feature set raises here — mismatched block ids / value columns
+    would silently corrupt every window reconstructed from the table
+    (the same hazard class the bucket-count contract mechanizes).
+    Returns the upsert summary."""
     import os
 
     from gfwspark import sources
     from gfwspark.checkpoint import bucket_of
 
+    # keep caller order: with multiple feature columns the block value
+    # layout is order-sensitive, so a reordered list is a real mismatch
+    feature_cols = (
+        [feature_col] if isinstance(feature_col, str) else list(feature_col)
+    )
+    meta = sources._read_table_meta(path) if os.path.exists(path) else None
+    if meta is not None:
+        for key, got in (("shift", shift), ("feature_cols", feature_cols)):
+            want = meta.get(key)
+            if want is not None and want != got:
+                raise ValueError(
+                    f"merge_append_into_blocks_table: table at {path} was "
+                    f"built with {key}={want!r} but this merge passed "
+                    f"{key}={got!r} — merging would corrupt block ids / "
+                    "window reconstruction; rebuild the table or pass the "
+                    "recorded value"
+                )
     if os.path.exists(path):
         touched = [
             r["_b"]
@@ -622,6 +644,7 @@ def merge_append_into_blocks_table(
     return sources.upsert_partitioned(
         spark, changed, path, keys=[entity, "block_id"],
         entity=entity, n_buckets=n_buckets, collect_stats=False,
+        extra_meta={"shift": shift, "feature_cols": feature_cols},
     )
 
 

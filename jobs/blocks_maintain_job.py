@@ -76,6 +76,13 @@ def main() -> None:
         r = sources.upsert_partitioned(
             spark, changed, args.blocks, keys=[args.entity, "block_id"],
             entity=args.entity, n_buckets=args.buckets, collect_stats=False,
+            # record the layout contract so a later --mode append with a
+            # different --shift / --feature-col raises instead of
+            # silently corrupting block ids (manifest-validated in
+            # windows.merge_append_into_blocks_table)
+            extra_meta={
+                "shift": args.shift, "feature_cols": [args.feature_col]
+            },
         )
     else:
         r = windows.merge_append_into_blocks_table(

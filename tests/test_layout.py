@@ -357,3 +357,89 @@ def test_stride_blocks_at_rest_zero_shuffle_windows(spark):
     )
     for a, b in zip(want.features, got.features):
         assert list(a) == list(b)
+
+
+def test_blocks_manifest_records_and_validates_shift(spark, tmp_path):
+    """r7 (ADVICE): the blocks-table manifest records the layout's
+    shift and feature_cols; a merge with a mismatched shift or feature
+    set raises before anything is written (mismatched block ids would
+    silently corrupt every window reconstructed from the table)."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from gfwspark import sources, windows
+
+    rows = spark.range(40).select(
+        F.concat(F.lit("e"), (F.col("id") % 2).cast("string")).alias("image_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        F.col("id").cast("double").alias("v"),
+    )
+    tbl = str(tmp_path / "blocks")
+    windows.merge_append_into_blocks_table(
+        spark, rows, tbl, "v", shift=4, n_buckets=4
+    )
+    meta = sources._read_table_meta(tbl)
+    assert meta["shift"] == 4
+    assert meta["feature_cols"] == ["v"]
+
+    later = spark.range(8).select(
+        F.lit("e0").alias("image_id"),
+        F.timestamp_seconds(F.lit(1_700_000_100) + F.col("id")).alias("ts"),
+        F.col("id").cast("double").alias("v"),
+    )
+    with _pytest.raises(ValueError, match="shift"):
+        windows.merge_append_into_blocks_table(
+            spark, later, tbl, "v", shift=5, n_buckets=4
+        )
+    with _pytest.raises(ValueError, match="feature_cols"):
+        windows.merge_append_into_blocks_table(
+            spark, later, tbl, "w", shift=4, n_buckets=4
+        )
+    # the matching contract still merges
+    windows.merge_append_into_blocks_table(
+        spark, later, tbl, "v", shift=4, n_buckets=4, on_late="drop"
+    )
+
+
+def test_rewrites_preserve_entity_stats_sidecar(spark, tmp_path):
+    """r7 (ADVICE): compact_table and zorder_table must carry the
+    _entity_stats sidecar through their tmp/swap rewrite (its content
+    is layout-independent), and compaction sizing must not count the
+    sidecar's parquet files."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from gfwspark import layout, sources
+
+    rows = spark.range(200).select(
+        F.concat(F.lit("e"), (F.col("id") % 5).cast("string")).alias("image_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        F.col("id").cast("double").alias("value"),
+    )
+    p = str(tmp_path / "tbl")
+    rows.repartition(8).write.parquet(p)
+    layout.write_entity_stats(layout.collect_entity_stats(rows), p)
+    before = layout.read_entity_stats(spark, p).toPandas().sort_values(
+        "image_id").reset_index(drop=True)
+
+    r = sources.compact_table(spark, p, target_mb=1024)
+    # sidecar survived the swap and its files never counted as data
+    assert os.path.isdir(os.path.join(p, "_entity_stats"))
+    after = layout.read_entity_stats(spark, p).toPandas().sort_values(
+        "image_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(before, after)
+    data_files = 0
+    for root, dirs, files in os.walk(p):
+        dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
+        data_files += sum(f.endswith(".parquet") for f in files)
+    assert r["files_after"] == data_files
+
+    layout.zorder_table(
+        sources.read_table(spark, p), p, ["value"], bits=2, n_files=2
+    )
+    assert os.path.isdir(os.path.join(p, "_entity_stats"))
+    after_z = layout.read_entity_stats(spark, p).toPandas().sort_values(
+        "image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after_z)
